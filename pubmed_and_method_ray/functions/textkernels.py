@@ -1,0 +1,212 @@
+"""String-similarity kernels.
+
+Semantics mirror the reference's kernel library
+(/root/reference/src/eutilities/string_utils.py:14-109) — same null
+handling (None -> 0.0 / 0), same set-based jaccard/intersection, same
+Jaro-Winkler contract — implemented from scratch on public algorithm
+definitions (Jaro 1989, Winkler 1990, Wagner-Fischer edit distance).
+No external deps; everything is deterministic.
+"""
+
+from __future__ import annotations
+
+import re
+
+# Compact English stopword set (analog of nltk stopwords used at
+# string_utils.py:86; frozen here so results are reproducible without nltk).
+EN_STOPWORDS = frozenset(
+    """a about above after again against all am an and any are as at be because
+    been before being below between both but by can did do does doing down
+    during each few for from further had has have having he her here hers
+    herself him himself his how i if in into is it its itself just me more most
+    my myself no nor not now of off on once only or other our ours ourselves
+    out over own s same she should so some such t than that the their theirs
+    them themselves then there these they this those through to too under until
+    up very was we were what when where which while who whom why will with you
+    your yours yourself yourselves""".split()
+)
+
+_WORD_RE = re.compile(r"\w+")
+_NON_LOWER_RE = re.compile(r"[^a-z]")
+_EMAIL_RE = re.compile(r"[\w\.-]+@[\w\.-]+")
+_WS_RE = re.compile(r"\s+")
+
+
+def tokenize(text: str | None) -> list[str]:
+    """``\\w+`` tokens, lowercased (reference ``clean_title``,
+    database/pubmed_inner_outer_feature.sql:6-8)."""
+    if not text:
+        return []
+    return _WORD_RE.findall(text.lower())
+
+
+def extract_inner_words(string: str | None) -> list[str]:
+    """Strip non-[a-z] to spaces, keep tokens with len > 2
+    (string_utils.py:25-28)."""
+    if string is None:
+        return []
+    return [s for s in _NON_LOWER_RE.sub(" ", string).split(" ") if len(s) > 2]
+
+
+def extract_email(text: str | None) -> str | None:
+    """First email-ish match, trailing dot trimmed (string_utils.py:14-22)."""
+    if text is None:
+        return None
+    m = _EMAIL_RE.search(text)
+    if m is None:
+        return None
+    result = m.group(0)
+    return result[:-1] if result.endswith(".") else result
+
+
+def intersection(a, b, remove_stop_word: bool = False) -> int:
+    """|set(a) & set(b)|; None -> 0 (string_utils.py:89-96)."""
+    if a is None or b is None:
+        return 0
+    if remove_stop_word:
+        a = [n for n in a if n not in EN_STOPWORDS]
+        b = [n for n in b if n not in EN_STOPWORDS]
+    return len(set(a) & set(b))
+
+
+def jaccard_similarity(a, b, remove_stop_word: bool = False) -> float:
+    """|A∩B| / |A∪B|; None or empty union -> 0.0 (string_utils.py:99-109)."""
+    if a is None or b is None:
+        return 0.0
+    if remove_stop_word:
+        a = [n for n in a if n not in EN_STOPWORDS]
+        b = [n for n in b if n not in EN_STOPWORDS]
+    sa, sb = set(a), set(b)
+    unions = len(sa | sb)
+    if unions == 0:
+        return 0.0
+    return len(sa & sb) / unions
+
+
+def jaro_similarity(s1: str, s2: str) -> float:
+    """Jaro similarity (public definition; the primitive under
+    string_utils.py:80-83's jaro_winkler_similarity)."""
+    if s1 == s2:
+        return 1.0
+    len1, len2 = len(s1), len(s2)
+    if len1 == 0 or len2 == 0:
+        return 0.0
+    match_window = max(len1, len2) // 2 - 1
+    if match_window < 0:
+        match_window = 0
+    flags1 = [False] * len1
+    flags2 = [False] * len2
+    matches = 0
+    for i, c1 in enumerate(s1):
+        lo = max(0, i - match_window)
+        hi = min(len2, i + match_window + 1)
+        for j in range(lo, hi):
+            if not flags2[j] and s2[j] == c1:
+                flags1[i] = True
+                flags2[j] = True
+                matches += 1
+                break
+    if matches == 0:
+        return 0.0
+    transpositions = 0
+    k = 0
+    for i in range(len1):
+        if flags1[i]:
+            while not flags2[k]:
+                k += 1
+            if s1[i] != s2[k]:
+                transpositions += 1
+            k += 1
+    transpositions //= 2
+    m = matches
+    return (m / len1 + m / len2 + (m - transpositions) / m) / 3.0
+
+
+def jaro_winkler_similarity(s1: str | None, s2: str | None, p: float = 0.1) -> float:
+    """Jaro-Winkler; None -> 0.0 (contract of string_utils.py:80-83)."""
+    if s1 is None or s2 is None:
+        return 0.0
+    jaro = jaro_similarity(s1, s2)
+    prefix = 0
+    for c1, c2 in zip(s1, s2):
+        if c1 != c2 or prefix == 4:
+            break
+        prefix += 1
+    return jaro + prefix * p * (1.0 - jaro)
+
+
+def levenshtein(s1: str, s2: str) -> int:
+    """Wagner-Fischer edit distance (two-row DP)."""
+    if s1 == s2:
+        return 0
+    if len(s1) < len(s2):
+        s1, s2 = s2, s1
+    if not s2:
+        return len(s1)
+    prev = list(range(len(s2) + 1))
+    for i, c1 in enumerate(s1, 1):
+        cur = [i]
+        for j, c2 in enumerate(s2, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (c1 != c2)))
+        prev = cur
+    return prev[-1]
+
+
+def edit_diff_chars(str1: str, str2: str) -> list[str]:
+    """Characters touched by an optimal edit script, longer string first —
+    same contract as the reference's editops walk
+    (string_utils.py:59-77): deleted/replaced chars come from the longer
+    string, inserted chars from the shorter one.
+    """
+    if len(str1) < len(str2):
+        str1, str2 = str2, str1
+    n1, n2 = len(str1), len(str2)
+    # full DP matrix + backtrace (strings here are short: names/urls)
+    dp = [[0] * (n2 + 1) for _ in range(n1 + 1)]
+    for i in range(n1 + 1):
+        dp[i][0] = i
+    for j in range(n2 + 1):
+        dp[0][j] = j
+    for i in range(1, n1 + 1):
+        row, prow = dp[i], dp[i - 1]
+        c1 = str1[i - 1]
+        for j in range(1, n2 + 1):
+            row[j] = min(prow[j] + 1, row[j - 1] + 1, prow[j - 1] + (c1 != str2[j - 1]))
+    diff: list[str] = []
+    i, j = n1, n2
+    while i > 0 or j > 0:
+        if i > 0 and j > 0 and str1[i - 1] == str2[j - 1] and dp[i][j] == dp[i - 1][j - 1]:
+            i -= 1
+            j -= 1
+        elif i > 0 and j > 0 and dp[i][j] == dp[i - 1][j - 1] + 1:
+            diff.append(str1[i - 1])  # replace
+            i -= 1
+            j -= 1
+        elif i > 0 and dp[i][j] == dp[i - 1][j] + 1:
+            diff.append(str1[i - 1])  # delete from longer
+            i -= 1
+        else:
+            diff.append(str2[j - 1])  # insert from shorter
+            j -= 1
+    diff.reverse()
+    return diff
+
+
+def normalize_ws(text: str) -> str:
+    """Collapse all whitespace runs to single spaces and strip."""
+    return _WS_RE.sub(" ", text).strip()
+
+
+def char_shingles(text: str, k: int = 3) -> list[str]:
+    """Overlapping character k-grams of the whitespace-normalized text."""
+    t = normalize_ws(text)
+    if len(t) < k:
+        return [t] if t else []
+    return [t[i : i + k] for i in range(len(t) - k + 1)]
+
+
+def token_shingles(tokens: list[str], k: int = 3) -> list[str]:
+    """Overlapping token k-grams joined by a space."""
+    if len(tokens) < k:
+        return [" ".join(tokens)] if tokens else []
+    return [" ".join(tokens[i : i + k]) for i in range(len(tokens) - k + 1)]

@@ -1,0 +1,123 @@
+"""Flagship entity-resolution pipeline (BASELINE.json north_star):
+
+    pages -> extract_text -> normalize(+tfidf) -> blocking(+salting)
+          -> pair-gen -> pair features (actor pool) -> GBT scoring
+          -> match edges -> connected components -> clusters -> eval
+
+Mirrors the reference lifecycle (SURVEY.md §3.3): ClickHouse MV
+checkpoints become per-stage Parquet checkpoints with lineage manifests;
+the iterrows feature extractor becomes a vectorized actor pool; the
+sklearn model zoo becomes a driver-trained numpy GBT scored in an actor
+pool; gold-IDX label equality becomes explicit connected components.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from ..functions.gbt import GBTClassifier
+from ..functions.metrics import calc_metrics, cluster_pairwise_metrics
+from ..sources import checkpoint as ckpt
+from ..stages.blocking import generate_pairs
+from ..stages.cluster import assign_clusters
+from ..stages.features import (
+    FEATURE_NAMES,
+    edges_from_scores,
+    featurize_pairs,
+    score_pairs,
+)
+from ..stages.mention_prep import NormalizeMentions, extract_stage, fit_idf
+
+PIPELINE_VERSION = "r1.0"
+
+
+def prepare_mentions(pages_ds, use_tfidf: bool = True, idf_sample_mod: int = 1,
+                     normalize_concurrency=(1, 8)):
+    """pages -> normalized mentions with similarity payloads."""
+    import ray
+
+    extracted = pages_ds.map_batches(extract_stage, batch_format="pyarrow")
+    idf_ref = None
+    if use_tfidf:
+        idf, _ = fit_idf(extracted, sample_mod=idf_sample_mod)
+        idf_ref = ray.put(idf)
+    return extracted.map_batches(
+        NormalizeMentions,
+        fn_constructor_kwargs={"idf_ref": idf_ref},
+        batch_format="pyarrow",
+        batch_size=1024,
+        concurrency=normalize_concurrency,
+    )
+
+
+def train_pairwise_model(features_ds, seed: int = 42) -> str:
+    """Driver-side GBT fit on the (small) labeled feature set — the
+    reference trains on <60k labeled pairs (BASELINE.md), so collecting
+    to the driver matches its scale contract; scoring stays distributed.
+    Returns the serialized model JSON."""
+    df = features_ds.select_columns(FEATURE_NAMES + ["label"]).to_pandas()
+    X = df[FEATURE_NAMES].to_numpy(dtype=np.float64)
+    y = df["label"].to_numpy(dtype=np.float64)
+    model = GBTClassifier(n_estimators=60, learning_rate=0.2, max_depth=3)
+    model.fit(X, y)
+    return model.to_json()
+
+
+def run_er_pipeline(
+    pages_ds,
+    model_json: str | None = None,
+    workdir: str | None = None,
+    n_max: int = 512,
+    threshold: float = 0.5,
+    use_tfidf: bool = True,
+    keep_gold: bool = True,
+    cc_method: str = "auto",
+    evaluate: bool = True,
+):
+    """Run the full pipeline. Returns a dict with the clusters Dataset,
+    scored-pairs Dataset, trained model JSON, and (if labeled) metrics.
+
+    With ``workdir`` set, each stage checkpoints to
+    ``{workdir}/{stage}/`` with a lineage manifest; a rerun with the same
+    fingerprints resumes from the last complete stage.
+    """
+    fp_in = ckpt.fingerprint(PIPELINE_VERSION, n_max, use_tfidf, keep_gold)
+
+    def persist(ds, name):
+        """Break lineage once per stage: Parquet checkpoint (resumable)
+        when workdir is set, else pin in the object store — every stage
+        below is consumed more than once (census+pairs+assign for
+        mentions, train+score for features, edges+metrics for scores)."""
+        if workdir:
+            return ckpt.checkpoint(ds, os.path.join(workdir, name), name, fp_in)
+        return ds.materialize()
+
+    mentions = persist(prepare_mentions(pages_ds, use_tfidf=use_tfidf), "mentions")
+    pairs = generate_pairs(mentions, n_max=n_max, keep_gold=keep_gold)
+    features = persist(featurize_pairs(pairs), "features")
+
+    if model_json is None:
+        if not keep_gold:
+            raise ValueError("model_json required when gold labels absent")
+        model_json = train_pairwise_model(features)
+
+    scored = persist(score_pairs(features, model_json, threshold=threshold), "scored")
+    edges = edges_from_scores(scored, threshold=threshold)
+    clusters = persist(assign_clusters(mentions, edges, method=cc_method), "clusters")
+
+    out = {"clusters": clusters, "scored": scored, "model_json": model_json}
+
+    if evaluate and keep_gold:
+        # pairwise metrics at threshold (reference metric.py semantics)
+        sdf = scored.select_columns(["label", "score"]).to_pandas()
+        out["pair_metrics"] = calc_metrics(sdf["label"], sdf["score"], prob=threshold)
+        # cluster co-membership metrics on the labeled candidate pairs
+        cdf = clusters.to_pandas()
+        cluster_of = dict(zip(cdf["url"], cdf["cluster_id"]))
+        pdf = scored.select_columns(["url_1", "url_2", "label"]).to_pandas()
+        out["cluster_metrics"] = cluster_pairwise_metrics(
+            zip(pdf["url_1"], pdf["url_2"], pdf["label"]), cluster_of
+        )
+    return out

@@ -1,0 +1,202 @@
+"""Connected components over match edges -> transitive cluster ids.
+
+The reference never clusters explicitly (gold IDX labels imply the
+partition, SURVEY.md §2.12); the north_rule makes it a first-class stage.
+
+Two implementations behind one entry point:
+- ``driver``: union-find over collected edges — exact and fast while the
+  *match-edge* set is small relative to driver memory (edges are only
+  predicted matches, orders of magnitude smaller than candidate pairs).
+- ``distributed``: min-label propagation — rounds of
+  (labels ∪ edge-messages) -> groupby(node).min(label) until fixpoint.
+  O(component diameter) rounds; near-dup clusters are dense so diameter
+  is tiny. Each round is one groupby shuffle on the (small) edge list.
+
+``auto`` picks driver-side below ``driver_max_edges``, else distributed —
+and the distributed path is what a 256-node run would use.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+
+def _union_find_clusters(edge_iter):
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    for u, v in edge_iter:
+        parent.setdefault(u, u)
+        parent.setdefault(v, v)
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            # deterministic: smaller string wins as root
+            if ru < rv:
+                parent[rv] = ru
+            else:
+                parent[ru] = rv
+    return {x: find(x) for x in parent}
+
+
+def connected_components_driver(edges_ds) -> dict[str, str]:
+    """Union-find on the driver; returns {node: cluster_root}."""
+
+    def gen():
+        for b in edges_ds.iter_batches(batch_format="pyarrow", batch_size=65536):
+            yield from zip(b["url_1"].to_pylist(), b["url_2"].to_pylist())
+
+    return _union_find_clusters(gen())
+
+
+def connected_components_distributed(edges_ds, max_rounds: int = 50):
+    """Min-label propagation entirely in Ray Data; returns a Dataset
+    (url, cluster_id) for every node that appears in an edge."""
+    import ray.data as rd
+    from ray.data.aggregate import Min
+
+    def to_nodes(t: pa.Table) -> pa.Table:
+        urls = t["url_1"].to_pylist() + t["url_2"].to_pylist()
+        return pa.Table.from_pydict(
+            {"url": pa.array(urls, pa.string()), "cluster_id": pa.array(urls, pa.string())}
+        )
+
+    labels = (
+        edges_ds.map_batches(to_nodes, batch_format="pyarrow")
+        .groupby("url")
+        .aggregate(Min("cluster_id", alias_name="cluster_id"))
+    ).materialize()
+
+    # undirected edges, both directions once
+    def both_dirs(t: pa.Table) -> pa.Table:
+        a = t["url_1"].to_pylist()
+        b = t["url_2"].to_pylist()
+        return pa.Table.from_pydict(
+            {
+                "url": pa.array(a + b, pa.string()),
+                "nbr": pa.array(b + a, pa.string()),
+            }
+        )
+
+    nbrs = edges_ds.map_batches(both_dirs, batch_format="pyarrow").materialize()
+
+    def group_propagate(g: pa.Table) -> pa.Table:
+        """One node's group: rows carry (url, label?, nbr?); broadcast the
+        node's current label to all neighbors + keep own."""
+        label = min(x for x in g["cluster_id"].to_pylist() if x is not None)
+        out_urls = [g["url"][0].as_py()]
+        for x in g["nbr"].to_pylist():
+            if x is not None:
+                out_urls.append(x)
+        return pa.Table.from_pydict(
+            {
+                "url": pa.array(out_urls, pa.string()),
+                "cluster_id": pa.array([label] * len(out_urls), pa.string()),
+            }
+        )
+
+    prev_sig = None
+    for _ in range(max_rounds):
+        def pad_labels(t: pa.Table) -> pa.Table:
+            return t.append_column("nbr", pa.nulls(t.num_rows, pa.string()))
+
+        def pad_nbrs(t: pa.Table) -> pa.Table:
+            return pa.Table.from_pydict(
+                {
+                    "url": t["url"],
+                    "cluster_id": pa.nulls(t.num_rows, pa.string()),
+                    "nbr": t["nbr"],
+                }
+            )
+
+        merged = labels.map_batches(pad_labels, batch_format="pyarrow").union(
+            nbrs.map_batches(pad_nbrs, batch_format="pyarrow")
+        )
+        new_labels = (
+            merged.groupby("url")
+            .map_groups(group_propagate, batch_format="pyarrow")
+            .groupby("url")
+            .aggregate(Min("cluster_id", alias_name="cluster_id"))
+        ).materialize()
+
+        # convergence: order-insensitive signature of (url, label)
+        import zlib
+
+        sig = 0
+        for b in new_labels.iter_batches(batch_format="pyarrow", batch_size=65536):
+            for u, l in zip(b["url"].to_pylist(), b["cluster_id"].to_pylist()):
+                sig ^= zlib.crc32(f"{u}\x00{l}".encode())
+        labels = new_labels
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    return labels
+
+
+def assign_clusters(
+    mentions_ds,
+    edges_ds,
+    method: str = "auto",
+    driver_max_edges: int = 2_000_000,
+):
+    """mentions + match edges -> Dataset (url, cluster_id); nodes without
+    any match edge become singleton clusters (cluster_id = own url)."""
+    import ray
+
+    if method == "auto":
+        method = (
+            "driver" if edges_ds.count() <= driver_max_edges else "distributed"
+        )
+
+    if method == "driver":
+        mapping = _as_ref(connected_components_driver(edges_ds))
+
+        class Assign:
+            def __init__(self, mapping_ref):
+                self.mapping = ray.get(mapping_ref)
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                urls = t["url"].to_pylist()
+                cids = [self.mapping.get(u, u) for u in urls]
+                return pa.Table.from_pydict(
+                    {
+                        "url": pa.array(urls, pa.string()),
+                        "cluster_id": pa.array(cids, pa.string()),
+                    }
+                )
+
+        return mentions_ds.select_columns(["url"]).map_batches(
+            Assign,
+            fn_constructor_kwargs={"mapping_ref": mapping},
+            batch_format="pyarrow",
+            concurrency=(1, 4),
+        )
+
+    # distributed path: CC labels for edge-nodes, then left-fill singletons
+    labels = connected_components_distributed(edges_ds)
+    joined = mentions_ds.select_columns(["url"]).join(
+        labels, join_type="left_outer", on=("url",), num_partitions=16
+    )
+
+    def fill(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.set_column(
+            t.schema.get_field_index("cluster_id"),
+            "cluster_id",
+            pc.coalesce(t["cluster_id"], t["url"]),
+        )
+
+    return joined.map_batches(fill, batch_format="pyarrow")
+
+
+def _as_ref(obj):
+    import ray
+
+    return ray.put(obj)

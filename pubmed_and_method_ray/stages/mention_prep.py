@@ -1,0 +1,144 @@
+"""Mention preparation stages: HTML extraction + normalization.
+
+Maps of SURVEY.md §2.2 (M1-M11) onto the web-page mention model: the
+deterministic extractor (S6 analog), host/url normalization (M7 analog),
+tokenization (M1), shingling and the SimHash blocking signature (D5).
+All stages are stateless ``map_batches`` over Arrow batches; the per-row
+Python work is bounded (regex + hashing) and batched.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.extract import extract_text, extract_title, normalize_host, url_path
+from ..functions.simhash import simhash64, simhash_bands
+from ..functions.textkernels import token_shingles, tokenize
+from ..functions.tfidf import ngram_indices
+from ..functions.hashing import hash64_array
+
+N_BANDS = 4
+
+
+def extract_stage(batch: pa.Table) -> pa.Table:
+    """html(binary) -> text_extracted/title/host/path columns.
+
+    The byte-identical invariant stage (input_hint): pure function of the
+    html bytes, verified against the frozen oracle text per url.
+    """
+    htmls = batch["html"].to_pylist()
+    urls = batch["url"].to_pylist()
+    texts = [extract_text(h) for h in htmls]
+    titles = [extract_title(h) for h in htmls]
+    hosts = [normalize_host(u) for u in urls]
+    paths = [url_path(u) for u in urls]
+    return (
+        batch.drop_columns(["html"])
+        .append_column("text_extracted", pa.array(texts, pa.large_string()))
+        .append_column("title", pa.array(titles, pa.string()))
+        .append_column("host", pa.array(hosts, pa.string()))
+        .append_column("path", pa.array(paths, pa.string()))
+    )
+
+
+class NormalizeMentions:
+    """Stateful normalization actor: compiled patterns + tf-idf IDF vector
+    loaded once per actor (SURVEY.md §2.3 pattern; the per-process tagger
+    state of /root/reference/src/eutilities/string_utils.py:119-121
+    becomes actor __init__ state).
+
+    Emits per-mention similarity payloads: token hashes, 3-shingle hashes,
+    simhash + band values, sparse tf-idf vector, microsecond timestamp.
+    """
+
+    def __init__(self, idf_ref=None):
+        import ray
+
+        self.idf = ray.get(idf_ref) if idf_ref is not None else None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch["text_extracted"].to_pylist()
+        tok_hashes, sh_hashes, simhashes, bands = [], [], [], []
+        tfidf_idx, tfidf_w = [], []
+        for t in texts:
+            toks = tokenize(t)
+            th = hash64_array(toks, seed=0x70) if toks else np.empty(0, np.uint64)
+            tok_hashes.append(np.unique(th))
+            sh = token_shingles(toks, 3)
+            shh = hash64_array(sh, seed=0x71) if sh else np.empty(0, np.uint64)
+            sh_hashes.append(np.unique(shh))
+            s = simhash64(toks)
+            simhashes.append(s)
+            bands.append(simhash_bands(s, N_BANDS))
+            if self.idf is not None:
+                idx = ngram_indices(t)
+                if len(idx):
+                    uniq, counts = np.unique(idx, return_counts=True)
+                    w = counts.astype(np.float32) * self.idf[uniq]
+                    norm = float(np.sqrt((w * w).sum()))
+                    if norm > 0:
+                        w /= norm
+                    tfidf_idx.append(uniq.astype(np.uint32))
+                    tfidf_w.append(w)
+                else:
+                    tfidf_idx.append(np.empty(0, np.uint32))
+                    tfidf_w.append(np.empty(0, np.float32))
+
+        ts = batch["warc_ts"].cast(pa.int64())
+        out = (
+            batch.drop_columns(["text_extracted"])
+            .append_column("ts_us", ts)
+            .append_column(
+                "tok_hashes", pa.array([a.tolist() for a in tok_hashes], pa.list_(pa.uint64()))
+            )
+            .append_column(
+                "sh_hashes", pa.array([a.tolist() for a in sh_hashes], pa.list_(pa.uint64()))
+            )
+            .append_column("simhash", pa.array(simhashes, pa.uint64()))
+            .append_column("bands", pa.array(bands, pa.list_(pa.uint64(), N_BANDS)))
+        )
+        if self.idf is not None:
+            out = out.append_column(
+                "tfidf_idx", pa.array([a.tolist() for a in tfidf_idx], pa.list_(pa.uint32()))
+            ).append_column(
+                "tfidf_w", pa.array([a.tolist() for a in tfidf_w], pa.list_(pa.float32()))
+            )
+        return out
+
+
+def fit_idf(ds, sample_mod: int = 1):
+    """Fit the hashed-ngram IDF table: per-batch partial DF vectors (a
+    mergeable sketch — SURVEY.md §4 pre-aggregation rule), summed on the
+    driver. ``sample_mod`` > 1 fits on a deterministic hash-sample of the
+    corpus (the 100-TB path: idf from a 1/mod sample is statistically
+    identical and keeps the reduce tiny).
+    Returns (idf float32[N_FEATURES], n_docs_sampled)."""
+    from ..functions.tfidf import N_FEATURES, idf_from_df, partial_df
+    from ..functions.hashing import stable_hash64
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = batch["text_extracted"].to_pylist()
+        if sample_mod > 1:
+            urls = batch["url"].to_pylist()
+            texts = [
+                t
+                for t, u in zip(texts, urls)
+                if stable_hash64(u, seed=0xDF) % sample_mod == 0
+            ]
+        df = partial_df(texts)
+        return pa.Table.from_pydict(
+            {
+                "df": pa.array([df.astype(np.int64).tolist()], pa.list_(pa.int64(), N_FEATURES)),
+                "n": pa.array([len(texts)], pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=1024)
+    total_df = np.zeros(N_FEATURES, dtype=np.int64)
+    n_docs = 0
+    for b in parts.iter_batches(batch_format="pyarrow", batch_size=64):
+        arr = np.asarray(b["df"].to_pylist(), dtype=np.int64)
+        total_df += arr.sum(axis=0)
+        n_docs += int(np.asarray(b["n"]).sum())
+    return idf_from_df(total_df, max(n_docs, 1)), n_docs
