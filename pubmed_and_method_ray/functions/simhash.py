@@ -15,6 +15,11 @@ import numpy as np
 from .hashing import hash64_array, splitmix64
 
 SIMHASH_BITS = 64
+# Blocking bands: 8 bands x 8 bits. At near-dup Hamming distance d≈10 the
+# expected number of clean bands is 8·(7/8)^d ≈ 2.1 (high recall); for
+# unrelated text (d≈30) a chance band collision is ~(1/2)^8 per band —
+# cheap false candidates the scorer rejects.
+DEFAULT_BANDS = 8
 
 
 def simhash64(tokens: list[str]) -> int:

@@ -37,8 +37,7 @@ import numpy as np
 import pyarrow as pa
 
 from ..functions.hashing import stable_hash64
-
-N_BANDS = 4
+from ..functions.simhash import DEFAULT_BANDS as N_BANDS
 
 PAYLOAD_COLS = [
     "url",
@@ -100,9 +99,7 @@ class EmitPairKeys:
 
         self.skew = ray.get(skew_ref) if skew_ref is not None else {}
         self.n_max = n_max
-        self.cols = list(PAYLOAD_COLS)
-        if keep_gold:
-            self.cols.append("entity_id")
+        self.keep_gold = keep_gold
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         hosts = batch["host"].to_pylist()
@@ -123,7 +120,10 @@ class EmitPairKeys:
                         a, b = (i, s) if i < s else (s, i)
                         keys.append(f"{base}#{n}#{a}_{b}")
                         take_idx.append(row)
-        out = batch.select(self.cols).take(pa.array(take_idx, pa.int64()))
+        cols = [c for c in PAYLOAD_COLS if c in batch.column_names]
+        if self.keep_gold and "entity_id" in batch.column_names:
+            cols.append("entity_id")
+        out = batch.select(cols).take(pa.array(take_idx, pa.int64()))
         return out.append_column("pair_key", pa.array(keys, pa.string()))
 
 
@@ -174,10 +174,9 @@ def make_pairs_group(group: pa.Table, n_max: int = 512, keep_gold: bool = True) 
     cols: dict[str, pa.Array] = {}
     li = pa.array(left_idx, pa.int64())
     ri = pa.array(right_idx, pa.int64())
+    present = [c for c in PAYLOAD_COLS if c != "bands" and c in group.column_names]
     for side, idx in (("1", li), ("2", ri)):
-        for c in PAYLOAD_COLS:
-            if c == "bands":
-                continue
+        for c in present:
             cols[f"{c}_{side}"] = group[c].take(idx)
     n_pairs = len(left_idx)
     cols["block_size"] = pa.array([block_size] * n_pairs, pa.int64())
@@ -192,10 +191,9 @@ def make_pairs_group(group: pa.Table, n_max: int = 512, keep_gold: bool = True) 
 
 def _empty_pairs(with_label: bool, group: pa.Table) -> pa.Table:
     fields = []
+    present = [c for c in PAYLOAD_COLS if c != "bands" and c in group.column_names]
     for side in ("1", "2"):
-        for c in PAYLOAD_COLS:
-            if c == "bands":
-                continue
+        for c in present:
             fields.append(pa.field(f"{c}_{side}", group.schema.field(c).type))
     fields.append(pa.field("block_size", pa.int64()))
     if with_label:

@@ -13,12 +13,11 @@ import numpy as np
 import pyarrow as pa
 
 from ..functions.extract import extract_text, extract_title, normalize_host, url_path
+from ..functions.simhash import DEFAULT_BANDS as N_BANDS
 from ..functions.simhash import simhash64, simhash_bands
 from ..functions.textkernels import token_shingles, tokenize
 from ..functions.tfidf import ngram_indices
 from ..functions.hashing import hash64_array
-
-N_BANDS = 4
 
 
 def extract_stage(batch: pa.Table) -> pa.Table:

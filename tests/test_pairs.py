@@ -1,0 +1,140 @@
+"""Pair-generation cross-implementation oracle (the reference's own test
+pattern: SQL pair-gen checked against an independent Python script,
+/root/reference/database/and_datasets.sql:87-105). Brute-force itertools
+per (host, any-band-agreement) must equal the pipeline output exactly —
+including when mega-block salting kicks in."""
+
+import itertools
+
+import pytest
+import ray.data as rd
+
+from pubmed_and_method_ray.sources.pages import pages_from_documents_batch
+from pubmed_and_method_ray.stages.blocking import block_census, generate_pairs
+from pubmed_and_method_ray.stages.mention_prep import NormalizeMentions, extract_stage
+
+import pyarrow as pa
+
+
+def _mentions_table(n_docs=40, expand_k=4):
+    batch = pa.Table.from_pydict(
+        {
+            "doc_id": list(range(n_docs)),
+            "text": [
+                " ".join(f"w{i % 7}t{j}" for j in range(50)) for i in range(n_docs)
+            ],
+            "lang": ["en"] * n_docs,
+        }
+    )
+    pages = pages_from_documents_batch(batch, expand_k=expand_k, n_hosts=5)
+    norm = NormalizeMentions()
+    return norm(extract_stage(pages))
+
+
+def _brute_force_pairs(mentions: pa.Table) -> set[tuple[str, str]]:
+    rows = list(
+        zip(
+            mentions["url"].to_pylist(),
+            mentions["host"].to_pylist(),
+            mentions["bands"].to_pylist(),
+        )
+    )
+    expected = set()
+    for (u1, h1, b1), (u2, h2, b2) in itertools.combinations(rows, 2):
+        if h1 == h2 and any(x == y for x, y in zip(b1, b2)):
+            expected.add((min(u1, u2), max(u1, u2)))
+    return expected
+
+
+@pytest.fixture(scope="module")
+def mentions():
+    return _mentions_table()
+
+
+class TestPairGeneration:
+    def _run(self, mentions, n_max):
+        ds = rd.from_arrow(mentions)
+        pairs = generate_pairs(ds, n_max=n_max, keep_gold=True)
+        t = pairs.select_columns(["url_1", "url_2", "label"]).to_pandas()
+        got = set(zip(t["url_1"], t["url_2"]))
+        assert len(got) == len(t), "duplicate pairs emitted"
+        return got, t
+
+    def test_matches_brute_force_unsalted(self, mentions):
+        got, _ = self._run(mentions, n_max=100_000)
+        assert got == _brute_force_pairs(mentions)
+
+    def test_matches_brute_force_salted(self, mentions):
+        """Tiny n_max forces S>1 salting on every real block; coverage and
+        dedup must still be exact (the hard part of SURVEY.md §7.4)."""
+        got, _ = self._run(mentions, n_max=8)
+        assert got == _brute_force_pairs(mentions)
+
+    def test_canonical_order(self, mentions):
+        _, t = self._run(mentions, n_max=64)
+        assert (t["url_1"] < t["url_2"]).all()
+
+    def test_labels_match_entity_equality(self, mentions):
+        ds = rd.from_arrow(mentions)
+        pairs = generate_pairs(ds, n_max=100_000, keep_gold=True)
+        t = pairs.select_columns(["url_1", "url_2", "label"]).to_pandas()
+        ent = dict(
+            zip(mentions["url"].to_pylist(), mentions["entity_id"].to_pylist())
+        )
+        for u1, u2, lab in zip(t["url_1"], t["url_2"], t["label"]):
+            assert lab == (1 if ent[u1] == ent[u2] else 0)
+
+    def test_gold_entities_connected_by_blocking(self, mentions):
+        """Blocking recall on planted clusters: transitive clustering only
+        needs every entity's pages to form ONE connected component in the
+        candidate-pair graph (the SONG same-lastname-block property;
+        direct-pair misses healed by transitivity are fine)."""
+        blocked = _brute_force_pairs(mentions)
+        ent = dict(
+            zip(mentions["url"].to_pylist(), mentions["entity_id"].to_pylist())
+        )
+        urls_by_ent = {}
+        for u, e in ent.items():
+            urls_by_ent.setdefault(e, []).append(u)
+
+        direct_total = direct_hit = 0
+        for e, urls in urls_by_ent.items():
+            urls = sorted(urls)
+            for u1, u2 in itertools.combinations(urls, 2):
+                direct_total += 1
+                direct_hit += (u1, u2) in blocked
+            # connectivity within the entity through blocked pairs
+            if len(urls) > 1:
+                comp = {urls[0]}
+                frontier = [urls[0]]
+                while frontier:
+                    x = frontier.pop()
+                    for y in urls:
+                        if y not in comp and (min(x, y), max(x, y)) in blocked:
+                            comp.add(y)
+                            frontier.append(y)
+                assert comp == set(urls), f"entity {e} split by blocking"
+        assert direct_total > 0
+        assert direct_hit / direct_total >= 0.90  # direct-pair recall floor
+
+
+class TestBlockCensus:
+    def test_census_counts(self, mentions):
+        ds = rd.from_arrow(mentions)
+        from pubmed_and_method_ray.functions.simhash import DEFAULT_BANDS
+
+        census = block_census(ds).to_pandas()
+        # every mention contributes exactly N_BANDS keys
+        assert census["count()"].sum() == mentions.num_rows * DEFAULT_BANDS
+        # recompute one key's count independently
+        hosts = mentions["host"].to_pylist()
+        bands = mentions["bands"].to_pylist()
+        from collections import Counter
+
+        c = Counter(
+            f"{h}|{i}|{int(v):x}"
+            for h, bs in zip(hosts, bands)
+            for i, v in enumerate(bs)
+        )
+        got = dict(zip(census["block_key"], census["count()"]))
+        assert got == dict(c)

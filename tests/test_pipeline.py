@@ -1,0 +1,132 @@
+"""End-to-end pipeline tests: F1 ≥ 0.99 acceptance, golden counters,
+grouped-split leakage, checkpoint/resume (FIXTURES.md F5, SURVEY.md §5)."""
+
+import json
+import os
+import shutil
+
+import numpy as np
+import pytest
+import ray.data as rd
+
+from pubmed_and_method_ray.functions.splits import (
+    assert_no_leakage,
+    grouped_folds,
+    split_group_column,
+)
+from pubmed_and_method_ray.pipelines.er import run_er_pipeline
+from pubmed_and_method_ray.sources import checkpoint as ckpt
+from pubmed_and_method_ray.sources.pages import build_pages_dataset
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def pages():
+    return build_pages_dataset(SF, expand_k=4)
+
+
+@pytest.fixture(scope="module")
+def result(pages):
+    return run_er_pipeline(pages, n_max=256)
+
+
+class TestEndToEnd:
+    def test_pairwise_f1_acceptance(self, result):
+        assert result["pair_metrics"]["f1"] >= 0.99  # BASELINE.md target
+
+    def test_cluster_f1_acceptance(self, result):
+        assert result["cluster_metrics"]["f1"] >= 0.99
+
+    def test_every_page_clustered(self, result, pages):
+        assert result["clusters"].count() == pages.count()
+
+    def test_cluster_partition_matches_gold(self, result, pages):
+        """Predicted clusters == gold entity partition up to relabeling."""
+        gold = pages.select_columns(["url", "entity_id"]).to_pandas()
+        pred = result["clusters"].to_pandas()
+        m = gold.merge(pred, on="url")
+        # each gold entity maps to exactly one predicted cluster and
+        # each predicted cluster to exactly one entity
+        assert (m.groupby("entity_id")["cluster_id"].nunique() == 1).all()
+        assert (m.groupby("cluster_id")["entity_id"].nunique() == 1).all()
+
+    def test_scores_deterministic(self, pages, result):
+        out2 = run_er_pipeline(pages, n_max=256, model_json=result["model_json"])
+        a = (
+            result["scored"]
+            .select_columns(["url_1", "url_2", "score"])
+            .to_pandas()
+            .sort_values(["url_1", "url_2"])
+            .reset_index(drop=True)
+        )
+        b = (
+            out2["scored"]
+            .select_columns(["url_1", "url_2", "score"])
+            .to_pandas()
+            .sort_values(["url_1", "url_2"])
+            .reset_index(drop=True)
+        )
+        assert (a["url_1"] == b["url_1"]).all()
+        assert np.allclose(a["score"], b["score"])
+
+
+class TestGroupedSplit:
+    def test_no_leakage_any_fold(self, result):
+        sdf = result["scored"].to_pandas()
+        hosts = [u.split("/")[2] for u in sdf["url_1"]]
+        groups = split_group_column(hosts)
+        for train, test in grouped_folds(groups, n_splits=5):
+            assert_no_leakage(groups[train], groups[test])
+
+    def test_leakage_assert_fires(self):
+        with pytest.raises(AssertionError):
+            assert_no_leakage([1, 2], [2, 3])
+
+
+class TestCheckpointResume:
+    def test_resume_skips_completed_stages(self, pages, tmp_path_factory):
+        workdir = str(tmp_path_factory.mktemp("ckpt"))
+        out1 = run_er_pipeline(pages, n_max=256, workdir=workdir)
+        clusters1 = out1["clusters"].to_pandas()  # snapshot before "crash"
+        man1 = ckpt.read_manifest(os.path.join(workdir, "features"))
+        assert man1 and man1["complete"] and man1["rows"] > 0
+        wrote_at = man1["written_at"]
+
+        # simulate a crash after 'features': later stages lost
+        shutil.rmtree(os.path.join(workdir, "scored"))
+        shutil.rmtree(os.path.join(workdir, "clusters"))
+        out2 = run_er_pipeline(
+            pages, n_max=256, workdir=workdir, model_json=out1["model_json"]
+        )
+        # features stage was NOT recomputed (manifest untouched)
+        man2 = ckpt.read_manifest(os.path.join(workdir, "features"))
+        assert man2["written_at"] == wrote_at
+        # identical final clusters
+        a = clusters1.sort_values("url").reset_index(drop=True)
+        b = out2["clusters"].to_pandas().sort_values("url").reset_index(drop=True)
+        assert (a["cluster_id"] == b["cluster_id"]).all()
+
+    def test_manifest_lineage_counters(self, pages, tmp_path_factory):
+        workdir = str(tmp_path_factory.mktemp("ckpt2"))
+        run_er_pipeline(pages, n_max=256, workdir=workdir)
+        for stage in ["mentions", "features", "scored", "clusters"]:
+            man = ckpt.read_manifest(os.path.join(workdir, stage))
+            assert man["stage"] == stage
+            assert man["rows"] == sum(man["files"].values())
+            assert man["fingerprint"]
+
+
+class TestConnectedComponents:
+    def test_distributed_matches_driver(self, pages, result):
+        from pubmed_and_method_ray.stages.cluster import (
+            connected_components_distributed,
+            connected_components_driver,
+        )
+        from pubmed_and_method_ray.stages.features import edges_from_scores
+
+        edges = edges_from_scores(result["scored"], 0.5).materialize()
+        drv = connected_components_driver(edges)
+        dist = connected_components_distributed(edges).to_pandas()
+        got = dict(zip(dist["url"], dist["cluster_id"]))
+        assert got == drv  # same minimal-url labels
