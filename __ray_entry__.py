@@ -1,16 +1,15 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship ER pipeline on sf0.001-derived pages with
+the pretrained GBT; ``queries()`` exposes every implemented operator from
+SURVEY.md §2 (plus the training-data extensions: dedup family, similarity
+search, text analysis, multimodal plumbing); ``oracle_sql()`` gives the
+DuckDB-equivalent SQL for every SQL-expressible query, with identical
+column names and float-parity conventions (int/int divisions are
+bit-identical; additive double aggregates are ROUND()ed on both sides).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
@@ -18,27 +17,236 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+QUALITY_SW_SQL = "('the', 'a', 'of', 'and', 'to', 'in', 'is', 'on', 'for', 'with')"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001: pages derived from the
+    documents table -> blocking -> pair features -> pretrained GBT ->
+    connected components -> (url, cluster_id)."""
+    from pubmed_and_method_ray.pipelines.er import run_er_pipeline
+    from pubmed_and_method_ray.sources.pages import build_pages_dataset
+    from pubmed_and_method_ray.state import load_pretrained_model_json
+
+    pages = build_pages_dataset("/root/testdata/sf0.001", expand_k=4)
+    out = run_er_pipeline(
+        pages,
+        model_json=load_pretrained_model_json(),
+        n_max=512,
+        evaluate=False,
+    )
+    return out["clusters"]
+
+
+def _er_clusters(sf_dir: str):
+    from pubmed_and_method_ray.pipelines.er import run_er_pipeline
+    from pubmed_and_method_ray.sources.pages import build_pages_dataset
+    from pubmed_and_method_ray.state import load_pretrained_model_json
+
+    pages = build_pages_dataset(sf_dir, expand_k=3)
+    out = run_er_pipeline(
+        pages, model_json=load_pretrained_model_json(), n_max=512, evaluate=False
+    )
+    return out["clusters"]
+
+
+def _er_match_edges(sf_dir: str):
+    from pubmed_and_method_ray.pipelines.er import run_er_pipeline
+    from pubmed_and_method_ray.sources.pages import build_pages_dataset
+    from pubmed_and_method_ray.state import load_pretrained_model_json
+    from pubmed_and_method_ray.stages.features import edges_from_scores
+
+    pages = build_pages_dataset(sf_dir, expand_k=3)
+    out = run_er_pipeline(
+        pages, model_json=load_pretrained_model_json(), n_max=512, evaluate=False
+    )
+    return edges_from_scores(out["scored"], 0.5)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from pubmed_and_method_ray.pipelines import (
+        dedup,
+        multimodal,
+        relational,
+        similarity,
+        text_analysis,
+    )
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # -- flagship ER (model-driven; rows-only checks) ------------------
+        "er_clusters": _er_clusters,
+        "er_match_edges": _er_match_edges,
+        # -- dedup family --------------------------------------------------
+        "dedup_exact": dedup.dedup_exact,
+        "pair_jaccard_docs": dedup.pair_jaccard_docs,
+        "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
+        "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
+        "dedup_simhash": dedup.dedup_simhash,
+        "dedup_embedding_cosine": dedup.dedup_embedding_cosine,
+        # -- similarity search --------------------------------------------
+        "ann_topk": similarity.ann_topk,
+        "ann_topk_lsh": similarity.ann_topk_lsh,
+        "embedding_norms": similarity.embedding_norms,
+        # -- text analysis ------------------------------------------------
+        "token_count": text_analysis.token_count,
+        "quality_score": text_analysis.quality_score,
+        "lang_id": text_analysis.lang_id,
+        "doc_fingerprint": text_analysis.doc_fingerprint,
+        "doc_rolling_fingerprint": text_analysis.doc_rolling_fingerprint,
+        # -- multimodal plumbing ------------------------------------------
+        "payload_meta": multimodal.payload_meta,
+        "multimodal_decode": multimodal.decode_features,
+        # -- relational coverage (joins/aggs/sort/window/union) -----------
+        "pricing_summary": relational.pricing_summary,
+        "revenue_by_nation": relational.revenue_by_nation,
+        "top_parts": relational.top_parts,
+        "filter_project_lineitem": relational.filter_project_lineitem,
+        "events_hour_window": relational.events_hour_window,
+        "block_census_docs": relational.block_census_docs,
+        "doc_commonness": relational.doc_commonness,
+        "pair_gen_docs": relational.pair_gen_docs,
+        "union_distinct_keys": relational.union_distinct_keys,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    jac = (
+        "len(list_intersect(a.t, b.t)) / "
+        "len(list_distinct(list_concat(a.t, b.t)))"
+    )
+    toks_cte = (
+        "WITH toks AS (SELECT doc_id, lang, source, "
+        "list_distinct(str_split(lower(text), ' ')) AS t FROM documents)"
+    )
+    emb_cte = (
+        "WITH e AS (SELECT vec_id, "
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)"
+    )
+    cos = (
+        "list_inner_product(a.v, b.v) / "
+        "(sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v)))"
+    )
+    return {
+        "dedup_exact": (
+            "SELECT md5(text) AS text_hash, min(doc_id) AS doc_id "
+            "FROM documents GROUP BY md5(text)"
+        ),
+        "pair_jaccard_docs": (
+            f"{toks_cte} "
+            "SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2, "
+            "a.lang AS lang, a.source AS source, "
+            f"{jac} AS jaccard "
+            "FROM toks a JOIN toks b ON a.lang = b.lang AND a.source = b.source "
+            "AND a.doc_id < b.doc_id"
+        ),
+        "dedup_ngram_jaccard": (
+            f"{toks_cte} "
+            "SELECT * FROM ("
+            "SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2, "
+            "a.lang AS lang, a.source AS source, "
+            f"{jac} AS jaccard "
+            "FROM toks a JOIN toks b ON a.lang = b.lang AND a.source = b.source "
+            "AND a.doc_id < b.doc_id) WHERE jaccard >= 0.6"
+        ),
+        "dedup_embedding_cosine": (
+            f"{emb_cte} "
+            "SELECT vec_id1, vec_id2, ROUND(raw, 9) AS cos_sim FROM ("
+            "SELECT a.vec_id AS vec_id1, b.vec_id AS vec_id2, "
+            f"{cos} AS raw "
+            "FROM e a JOIN e b ON a.vec_id < b.vec_id) "
+            "WHERE raw >= 0.3"
+        ),
+        "ann_topk": (
+            f"{emb_cte} "
+            "SELECT b.vec_id AS vec_id, "
+            f"ROUND({cos}, 9) AS cos_sim "
+            "FROM e a JOIN e b ON a.vec_id = 0 AND b.vec_id <> 0 "
+            "ORDER BY cos_sim DESC LIMIT 10"
+        ),
+        "embedding_norms": (
+            "SELECT vec_id, ROUND(sqrt(list_inner_product(v, v)), 9) AS l2_norm "
+            "FROM (SELECT vec_id, "
+            "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)"
+        ),
+        "token_count": (
+            "SELECT doc_id, len(str_split(text, ' ')) AS n_tokens FROM documents"
+        ),
+        "quality_score": (
+            "SELECT doc_id, len(toks) AS n_tokens, "
+            "len(list_filter(toks, x -> x IN "
+            f"{QUALITY_SW_SQL})) AS stopword_count, "
+            "len(list_filter(toks, x -> x IN "
+            f"{QUALITY_SW_SQL})) / len(toks) AS stop_ratio "
+            "FROM (SELECT doc_id, str_split(lower(text), ' ') AS toks FROM documents)"
+        ),
+        "doc_fingerprint": (
+            "SELECT doc_id, md5(lower(text)) AS fp FROM documents"
+        ),
+        "payload_meta": (
+            "SELECT doc_id, octet_length(encode(text)) AS payload_bytes, "
+            "md5(text) AS payload_md5 FROM documents"
+        ),
+        # money/value sums are fixed-point (floor(x*scale+0.5) int64 sums):
+        # exact and order-independent, so they hash-match the Ray side
+        "pricing_summary": (
+            "SELECT l_returnflag, l_linestatus, "
+            "SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) / 100.0 AS sum_qty, "
+            "SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) / 100.0 "
+            "AS sum_base_price, "
+            "SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) "
+            "/ 100.0 AS sum_disc_price, "
+            "(SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) / 100.0) / COUNT(*) "
+            "AS avg_qty, "
+            "COUNT(*) AS n_rows "
+            "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00' "
+            "GROUP BY l_returnflag, l_linestatus"
+        ),
+        "revenue_by_nation": (
+            "SELECT n_name, "
+            "SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) "
+            "/ 100.0 AS revenue "
+            "FROM lineitem "
+            "JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "GROUP BY n_name"
+        ),
+        "top_parts": (
+            "SELECT p_partkey, p_name, p_retailprice FROM part "
+            "ORDER BY p_retailprice DESC LIMIT 20"
+        ),
+        "filter_project_lineitem": (
+            "SELECT l_orderkey, l_linenumber, "
+            "l_extendedprice * (1 - l_discount) AS revenue "
+            "FROM lineitem WHERE l_discount >= 0.05 AND l_discount <= 0.07 "
+            "AND l_quantity < 24"
+        ),
+        "events_hour_window": (
+            "SELECT user_id, epoch_us(ts) // 3600000000 AS hour_bucket, "
+            "COUNT(*) AS n_events, "
+            "SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)) / 1000000.0 AS sum_value "
+            "FROM events GROUP BY user_id, epoch_us(ts) // 3600000000"
+        ),
+        "block_census_docs": (
+            "SELECT lang, source, COUNT(*) AS n_docs FROM documents "
+            "GROUP BY lang, source"
+        ),
+        "doc_commonness": (
+            "SELECT doc_id, "
+            "COUNT(*) OVER (PARTITION BY lang, source) AS commonness, "
+            "ROUND(COUNT(*) OVER (PARTITION BY lang, source) / "
+            "(SELECT COUNT(*) FROM documents), 9) AS ambiguity "
+            "FROM documents"
+        ),
+        "pair_gen_docs": (
+            "SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2, "
+            "a.lang AS lang, a.source AS source "
+            "FROM documents a JOIN documents b "
+            "ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id"
+        ),
+        "union_distinct_keys": (
+            "SELECT DISTINCT n_name AS name, 'nation' AS kind FROM nation "
+            "UNION ALL "
+            "SELECT DISTINCT r_name AS name, 'region' AS kind FROM region"
+        ),
+    }

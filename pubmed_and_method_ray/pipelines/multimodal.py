@@ -1,0 +1,120 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata,
+decoded / feature-extracted in actor-pool map_batches stages.
+
+No image/audio libraries exist in this container, so the decode kernel is
+STUBBED: ``DecodePayload`` raises NotImplementedError in ``real`` mode
+and produces a deterministic fake (seeded by content hash) in ``fake``
+mode. The Ray-side plumbing — binary schema, small batch sizes for large
+payloads, actor signature, output layout — is real and tested
+(tests/test_queries.py). Swap ``_fake_decode`` for a PIL/ffmpeg call on a
+real cluster.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+PAYLOAD_SCHEMA = pa.schema(
+    [
+        pa.field("doc_id", pa.int64()),
+        pa.field("payload", pa.binary()),       # opaque media bytes
+        pa.field("media_type", pa.string()),    # 'image/png' etc. (typed metadata)
+        pa.field("payload_bytes", pa.int64()),
+    ]
+)
+
+
+def payload_meta(sf_dir: str):
+    """documents.text treated as an opaque binary payload: size + md5.
+    (Oracle-checkable: octet_length + md5.)"""
+    import ray.data as rd
+
+    def f(t: pa.Table) -> pa.Table:
+        raw = [(x or "").encode("utf-8") for x in t["text"].to_pylist()]
+        return pa.Table.from_pydict(
+            {
+                "doc_id": t["doc_id"],
+                "payload_bytes": pa.array([len(b) for b in raw], pa.int64()),
+                "payload_md5": pa.array(
+                    [hashlib.md5(b).hexdigest() for b in raw], pa.string()
+                ),
+            }
+        )
+
+    return rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(f, batch_format="pyarrow")
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Deterministic fake decoder: (width, height, 8-dim feature) keyed by
+    content hash — stands in for PIL.Image.open + a feature extractor."""
+    h = hashlib.blake2b(payload, digest_size=16).digest()
+    width = 64 + h[0] % 192
+    height = 64 + h[1] % 192
+    feat = np.frombuffer(h, dtype=np.uint8).astype(np.float64) / 255.0
+    return width, height, feat[:8]
+
+
+class DecodePayload:
+    """Actor-pool decode stage. ``mode='real'`` is the stub boundary:
+    it raises NotImplementedError (no media libs in this sandbox);
+    ``mode='fake'`` runs the deterministic fake so the plumbing is
+    testable end-to-end. Keep batch_size small — payload rows are wide."""
+
+    def __init__(self, mode: str = "fake"):
+        if mode not in ("real", "fake"):
+            raise ValueError(mode)
+        self.mode = mode
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        if self.mode == "real":
+            raise NotImplementedError(
+                "real media decoding requires PIL/ffmpeg — not available here"
+            )
+        widths, heights, feats = [], [], []
+        for payload in t["payload"].to_pylist():
+            w, h, f = _fake_decode(payload or b"")
+            widths.append(w)
+            heights.append(h)
+            feats.append(f.tolist())
+        return pa.Table.from_pydict(
+            {
+                "doc_id": t["doc_id"],
+                "width": pa.array(widths, pa.int32()),
+                "height": pa.array(heights, pa.int32()),
+                "feature": pa.array(feats, pa.list_(pa.float64(), 8)),
+            }
+        )
+
+
+def decode_features(sf_dir: str, mode: str = "fake"):
+    """documents -> payload rows -> actor-pool decode -> typed features."""
+    import ray.data as rd
+
+    def to_payload(t: pa.Table) -> pa.Table:
+        raw = [(x or "").encode("utf-8") for x in t["text"].to_pylist()]
+        return pa.Table.from_arrays(
+            [
+                t["doc_id"],
+                pa.array(raw, pa.binary()),
+                pa.array(["text/plain"] * len(raw), pa.string()),
+                pa.array([len(b) for b in raw], pa.int64()),
+            ],
+            schema=PAYLOAD_SCHEMA,
+        )
+
+    return (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        .map_batches(to_payload, batch_format="pyarrow")
+        .map_batches(
+            DecodePayload,
+            fn_constructor_kwargs={"mode": mode},
+            batch_format="pyarrow",
+            batch_size=64,  # large-binary rows: keep batches small
+            concurrency=(1, 4),
+        )
+    )

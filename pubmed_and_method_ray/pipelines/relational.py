@@ -1,0 +1,341 @@
+"""Relational operator coverage over the TPC-H-ish tables: grouped
+aggregation with partial pre-aggregation, broadcast hash joins, sort /
+top-k, filter+project, window-style event bucketing, union/distinct —
+the J/A/O/M/D rows of SURVEY.md §2 exercised on oracle-friendly tables.
+
+Float parity with the DuckDB oracles: additive aggregates are rounded
+(sum error ~1e-8 ≪ round unit); per-row arithmetic is bit-identical.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _to_fixed(x: np.ndarray, scale: float) -> np.ndarray:
+    """Fixed-point encode a double column: floor(x*scale + 0.5) -> int64.
+
+    Cross-engine float SUMs are order-dependent (a 1-ulp mismatch breaks
+    the value-hash gate), so every additive money/value aggregate here is
+    summed in integer fixed-point — exact and associative — and decoded
+    with one identical division. The SQL oracles use the literal same
+    expression: SUM(CAST(FLOOR(x*scale + 0.5) AS BIGINT)) / scale."""
+    return np.floor(x * scale + 0.5).astype(np.int64)
+
+
+def pricing_summary(sf_dir: str):
+    """TPC-H Q1-shaped grouped aggregate with per-batch partial
+    pre-aggregation before the (tiny) groupby shuffle (SURVEY.md §4)."""
+
+    cutoff = np.datetime64("1998-09-01T00:00:00", "us").astype(np.int64)
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = t["l_shipdate"].cast(pa.int64())
+        t = t.filter(pc.less_equal(ts, cutoff))
+        qty = t["l_quantity"].to_numpy(zero_copy_only=False)
+        base = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc_price = base * (1.0 - t["l_discount"].to_numpy(zero_copy_only=False))
+        import pandas as pd
+
+        df = pd.DataFrame(
+            {
+                "l_returnflag": t["l_returnflag"].to_pylist(),
+                "l_linestatus": t["l_linestatus"].to_pylist(),
+                "qty_c": _to_fixed(qty, 100.0),
+                "base_c": _to_fixed(base, 100.0),
+                "disc_c": _to_fixed(disc_price, 100.0),
+            }
+        )
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty_c=("qty_c", "sum"),
+            sum_base_c=("base_c", "sum"),
+            sum_disc_c=("disc_c", "sum"),
+            n_rows=("qty_c", "size"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    partials = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"],
+    ).map_batches(partial, batch_format="pyarrow")
+
+    agg = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("sum_qty_c", alias_name="sum_qty_c"),
+        Sum("sum_base_c", alias_name="sum_base_c"),
+        Sum("sum_disc_c", alias_name="sum_disc_c"),
+        Sum("n_rows", alias_name="n_rows"),
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        sum_qty = t["sum_qty_c"].to_numpy(zero_copy_only=False) / 100.0
+        n = t["n_rows"].to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "sum_qty": pa.array(sum_qty, pa.float64()),
+                "sum_base_price": pa.array(
+                    t["sum_base_c"].to_numpy(zero_copy_only=False) / 100.0, pa.float64()
+                ),
+                "sum_disc_price": pa.array(
+                    t["sum_disc_c"].to_numpy(zero_copy_only=False) / 100.0, pa.float64()
+                ),
+                "avg_qty": pa.array(sum_qty / n, pa.float64()),
+                "n_rows": t["n_rows"],
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def revenue_by_nation(sf_dir: str):
+    """3-way join expressed Ray-Data-first: the small sides (customer ⋈
+    nation, orders) are broadcast via ray.put and applied as vectorized
+    lookups inside map_batches over the big side (lineitem) — the
+    broadcast-hash-join pattern for star schemas (SURVEY.md J1/J2);
+    only the final per-nation partials shuffle (25 rows)."""
+    import ray
+    import ray.data as rd
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).to_pandas()
+
+    cust_nation = dict(
+        zip(
+            cust["c_custkey"].to_numpy(),
+            cust["c_nationkey"].map(dict(zip(nat["n_nationkey"], nat["n_name"]))).to_numpy(),
+        )
+    )
+    order_cust = dict(zip(orders["o_orderkey"].to_numpy(), orders["o_custkey"].to_numpy()))
+    ref = ray.put((order_cust, cust_nation))
+
+    class Partial:
+        def __init__(self):
+            self.order_cust, self.cust_nation = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ok = t["l_orderkey"].to_numpy(zero_copy_only=False)
+            rev = (
+                t["l_extendedprice"].to_numpy(zero_copy_only=False)
+                * (1.0 - t["l_discount"].to_numpy(zero_copy_only=False))
+            )
+            nations = [self.cust_nation[self.order_cust[k]] for k in ok]
+            import pandas as pd
+
+            g = (
+                pd.DataFrame({"n_name": nations, "rev_c": _to_fixed(rev, 100.0)})
+                .groupby("n_name", as_index=False)["rev_c"]
+                .sum()
+            )
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    partials = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"]).map_batches(
+        Partial, batch_format="pyarrow", concurrency=(1, 4)
+    )
+    agg = partials.groupby("n_name").aggregate(Sum("rev_c", alias_name="rev_c"))
+    return agg.map_batches(
+        lambda t: pa.Table.from_pydict(
+            {
+                "n_name": t["n_name"],
+                "revenue": pa.array(
+                    t["rev_c"].to_numpy(zero_copy_only=False) / 100.0, pa.float64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def top_parts(sf_dir: str, k: int = 20):
+    """Sort + limit (O1 analog): top-k parts by retail price."""
+    return (
+        _read(sf_dir, "part", ["p_partkey", "p_name", "p_retailprice"])
+        .sort("p_retailprice", descending=True)
+        .limit(k)
+    )
+
+
+def filter_project_lineitem(sf_dir: str):
+    """Vectorized predicate + computed column (M13 + revenue expression);
+    per-row arithmetic is bit-identical to the SQL oracle."""
+
+    def f(t: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.and_(
+                pc.greater_equal(t["l_discount"], 0.05),
+                pc.less_equal(t["l_discount"], 0.07),
+            ),
+            pc.less(t["l_quantity"], 24.0),
+        )
+        t = t.filter(mask)
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.Table.from_pydict(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "l_linenumber": t["l_linenumber"],
+                "revenue": rev,
+            }
+        )
+
+    return _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount"]
+    ).map_batches(f, batch_format="pyarrow")
+
+
+def events_hour_window(sf_dir: str):
+    """Tumbling 1-hour window per user (streaming-shaped analog,
+    SURVEY.md §2.13): bucket = floor-div of epoch microseconds."""
+
+    def bucket(t: pa.Table) -> pa.Table:
+        us = t["ts"].cast(pa.int64())
+        hb = pc.divide(us, 3_600_000_000)  # int64 floor division (ts > 0)
+        return pa.Table.from_pydict(
+            {
+                "user_id": t["user_id"],
+                "hour_bucket": hb,
+                "value_c": pa.array(
+                    _to_fixed(t["value"].to_numpy(zero_copy_only=False), 1e6),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    from ray.data.aggregate import Count, Sum
+
+    agg = (
+        _read(sf_dir, "events", ["ts", "user_id", "value"])
+        .map_batches(bucket, batch_format="pyarrow")
+        .groupby(["user_id", "hour_bucket"])
+        .aggregate(Count(alias_name="n_events"), Sum("value_c", alias_name="value_c"))
+    )
+    return agg.map_batches(
+        lambda t: pa.Table.from_pydict(
+            {
+                "user_id": t["user_id"],
+                "hour_bucket": t["hour_bucket"],
+                "n_events": t["n_events"],
+                "sum_value": pa.array(
+                    t["value_c"].to_numpy(zero_copy_only=False) / 1e6, pa.float64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def block_census_docs(sf_dir: str):
+    """Block-size census over (lang, source) — the commonness census A1."""
+    from ray.data.aggregate import Count
+
+    return (
+        _read(sf_dir, "documents", ["lang", "source"])
+        .groupby(["lang", "source"])
+        .aggregate(Count(alias_name="n_docs"))
+    )
+
+
+def doc_commonness(sf_dir: str):
+    """Per-doc block commonness + normalized ambiguity score — the
+    commonness/ambiguity join of the reference
+    (database/pubmed_inner_outer_feature.sql:112-113,201-203): census via
+    groupby, broadcast back as a dict (A2 global sum -> scalar)."""
+    import ray
+
+    census = block_census_docs(sf_dir).to_pandas()
+    total = int(census["n_docs"].sum())
+    lookup = {
+        (r.lang, r.source): int(r.n_docs) for r in census.itertuples(index=False)
+    }
+    ref = ray.put((lookup, total))
+
+    class Attach:
+        def __init__(self):
+            self.lookup, self.total = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            commonness = [
+                self.lookup[(l, s)]
+                for l, s in zip(t["lang"].to_pylist(), t["source"].to_pylist())
+            ]
+            amb = [round(c / self.total, 9) for c in commonness]
+            return pa.Table.from_pydict(
+                {
+                    "doc_id": t["doc_id"],
+                    "commonness": pa.array(commonness, pa.int64()),
+                    "ambiguity": pa.array(amb, pa.float64()),
+                }
+            )
+
+    return _read(sf_dir, "documents", ["doc_id", "lang", "source"]).map_batches(
+        Attach, batch_format="pyarrow", concurrency=(1, 4)
+    )
+
+
+def pair_gen_docs(sf_dir: str):
+    """Within-block C(n,2) pair generation over (lang, source) blocks —
+    the reference's defining operator (and_datasets.sql:44-79) on an
+    oracle-checkable table. Canonical doc_id1 < doc_id2."""
+
+    def pairs(g: pa.Table) -> pa.Table:
+        ids = sorted(g["doc_id"].to_pylist())
+        lang = g["lang"][0].as_py()
+        source = g["source"][0].as_py()
+        id1 = [a for i, a in enumerate(ids) for _ in ids[i + 1 :]]
+        id2 = [b for i, _ in enumerate(ids) for b in ids[i + 1 :]]
+        return pa.Table.from_pydict(
+            {
+                "doc_id1": pa.array(id1, pa.int64()),
+                "doc_id2": pa.array(id2, pa.int64()),
+                "lang": pa.array([lang] * len(id1), pa.string()),
+                "source": pa.array([source] * len(id1), pa.string()),
+            }
+        )
+
+    return (
+        _read(sf_dir, "documents", ["doc_id", "lang", "source"])
+        .groupby(["lang", "source"])
+        .map_groups(pairs, batch_format="pyarrow")
+    )
+
+
+def union_distinct_keys(sf_dir: str):
+    """Union + distinct (D1/D2): all nation/region names tagged by kind."""
+    import ray.data as rd
+
+    nat = _read(sf_dir, "nation", ["n_name"]).map_batches(
+        lambda t: pa.Table.from_pydict(
+            {
+                "name": t["n_name"],
+                "kind": pa.array(["nation"] * t.num_rows, pa.string()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    reg = _read(sf_dir, "region", ["r_name"]).map_batches(
+        lambda t: pa.Table.from_pydict(
+            {
+                "name": t["r_name"],
+                "kind": pa.array(["region"] * t.num_rows, pa.string()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return (
+        nat.union(reg)
+        .groupby(["name", "kind"])
+        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+    )
