@@ -1,0 +1,156 @@
+"""Benchmark harness.
+
+Default: run the headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) under ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS or 32) and print ONE JSON line:
+  {"metric": ..., "value": <headline seconds>, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N, "pages": P,
+   "pages_per_sec": ...}
+
+--scaling: run the identical job twice in fresh processes (num_cpus=8
+then 32) and print throughput at both plus scaling efficiency
+(BASELINE.md sandbox protocol for the two-cluster-size criterion).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+# bench corpus: documents replicated so the ER job is compute-bound, not
+# startup-bound (sf0.1 has 5000 docs -> ~25k pages at repeat=2,expand_k=4)
+ER_REPEAT = int(os.environ.get("GRAFT_ER_REPEAT", "2"))
+
+
+def run_benchmarks() -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=NUM_CPUS,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from pubmed_and_method_ray.pipelines import (
+        dedup,
+        relational,
+        similarity,
+        text_analysis,
+    )
+    from pubmed_and_method_ray.pipelines.er import run_er_pipeline
+    from pubmed_and_method_ray.sources.pages import build_pages_dataset
+    from pubmed_and_method_ray.state import load_pretrained_model_json
+
+    timings: dict[str, float] = {}
+
+    # ---- headline: ER pages/sec (blocking -> scoring -> clustering) -----
+    # corpus build is untimed (generator, not the engine under test):
+    # materialize pages to parquet once, read them back like a real run.
+    pages_dir = f"/tmp/bench_pages_{os.path.basename(SF_DIR)}_{ER_REPEAT}"
+    if not os.path.exists(os.path.join(pages_dir, "_done")):
+        import shutil
+
+        shutil.rmtree(pages_dir, ignore_errors=True)
+        build_pages_dataset(SF_DIR, expand_k=4, repeat=ER_REPEAT).write_parquet(
+            pages_dir
+        )
+        open(os.path.join(pages_dir, "_done"), "w").close()
+    import ray.data as rd
+
+    n_pages = rd.read_parquet(pages_dir, file_extensions=["parquet"]).count()  # warm page cache
+
+    model = load_pretrained_model_json()
+    t0 = time.perf_counter()
+    pages = rd.read_parquet(pages_dir, file_extensions=["parquet"])
+    out = run_er_pipeline(
+        pages, model_json=model, n_max=512, evaluate=False, keep_gold=True,
+        idf_sample_mod=4,
+    )
+    n_clusters_rows = out["clusters"].count()
+    er_sec = time.perf_counter() - t0
+    timings["er_pipeline"] = er_sec
+    assert n_clusters_rows == n_pages
+
+    # ---- secondary pipelines at sf scale --------------------------------
+    def timed(name, fn):
+        t = time.perf_counter()
+        ds = fn(SF_DIR)
+        # consume without driver materialization of big data
+        if hasattr(ds, "count"):
+            ds.count()
+        timings[name] = time.perf_counter() - t
+
+    timed("dedup_exact", dedup.dedup_exact)
+    timed("dedup_minhash_lsh", dedup.dedup_minhash_lsh)
+    timed("dedup_embedding_cosine", dedup.dedup_embedding_cosine)
+    timed("ann_topk", similarity.ann_topk)
+    timed("quality_score", text_analysis.quality_score)
+    timed("doc_fingerprint", text_analysis.doc_fingerprint)
+    timed("pricing_summary", relational.pricing_summary)
+    timed("revenue_by_nation", relational.revenue_by_nation)
+    timed("events_hour_window", relational.events_hour_window)
+    timed("pair_gen_docs", relational.pair_gen_docs)
+
+    return {
+        "metric": "er_pipeline_sec",
+        "value": round(er_sec, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "pages": int(n_pages),
+        "pages_per_sec": round(n_pages / er_sec, 1),
+    }
+
+
+def run_scaling() -> dict:
+    def run_at(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo = run_at(lo)
+    r_hi = run_at(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "cpus_lo": lo,
+        "cpus_hi": hi,
+        "sec_lo": t_lo,
+        "sec_hi": t_hi,
+        "pages_per_sec_lo": r_lo["pages_per_sec"],
+        "pages_per_sec_hi": r_hi["pages_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "pages": r_hi["pages"],
+        "sf": SF_DIR,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        result = run_benchmarks()
+        import ray
+
+        ray.shutdown()
+        print(json.dumps(result))

@@ -15,3 +15,26 @@ Reference semantics are cited per-function as /root/reference/<file>:<line>.
 """
 
 __version__ = "0.1.0"
+
+
+def _configure_ray_data() -> None:
+    """Engine-wide Ray Data defaults. HASH_SHUFFLE is required for
+    key-based repartition (the pair-generation exchange) and is the
+    strategy that scales aggregations on a multi-node cluster; it must be
+    set before any Dataset is created (contexts snapshot at creation)."""
+    try:
+        from ray.data.context import DataContext, ShuffleStrategy
+
+        ctx = DataContext.get_current()
+        ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+        # aggregator pools are actors: fractional CPU per partition so a
+        # shuffle with more partitions than CPUs schedules instead of
+        # deadlocking on small clusters / test sessions
+        ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.25
+        ctx.hash_aggregate_operator_actor_num_cpus_per_partition_override = 0.25
+        ctx.join_operator_actor_num_cpus_per_partition_override = 0.25
+    except Exception:  # pragma: no cover - older/newer ray fallback
+        pass
+
+
+_configure_ray_data()

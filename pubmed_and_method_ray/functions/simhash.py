@@ -15,30 +15,62 @@ import numpy as np
 from .hashing import hash64_array, splitmix64
 
 SIMHASH_BITS = 64
-# Blocking bands: 8 bands x 8 bits. At near-dup Hamming distance d≈10 the
-# expected number of clean bands is 8·(7/8)^d ≈ 2.1 (high recall); for
-# unrelated text (d≈30) a chance band collision is ~(1/2)^8 per band —
-# cheap false candidates the scorer rejects.
-DEFAULT_BANDS = 8
+# Blocking bands: 6 bands (4x11 + 2x10 bits). Guarantees any pair at
+# Hamming distance <= 5 shares a band (pigeonhole); at near-dup d≈6-8
+# recall stays high, while unrelated same-host text (d≈25+) collides on
+# a band only a few % of the time — the false candidates are cheap and
+# rejected by the scorer. Tune DEFAULT_BANDS up for recall, down for
+# selectivity.
+DEFAULT_BANDS = 6
+_BAND_WIDTHS = {4: [16, 16, 16, 16], 6: [11, 11, 11, 11, 10, 10], 8: [8] * 8}
+
+
+def simhash_from_hashes(hashes: np.ndarray) -> int:
+    """SimHash from precomputed per-token 64-bit hashes (multiset,
+    weight 1 per occurrence) — lets callers reuse token hashes."""
+    if len(hashes) == 0:
+        return 0
+    bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
+        np.int64
+    )
+    votes = bits.sum(axis=0) * 2 - len(hashes)  # (+1 / -1) vote sums per bit
+    return int(np.packbits(votes > 0, bitorder="little").view(np.uint64)[0])
 
 
 def simhash64(tokens: list[str]) -> int:
     """64-bit SimHash over a token multiset (weight 1 per occurrence)."""
     if not tokens:
         return 0
-    hashes = hash64_array(tokens, seed=0x51)
-    bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
-        np.int64
-    )
-    votes = bits.sum(axis=0) * 2 - len(tokens)  # (+1 / -1) vote sums per bit
-    return int(np.packbits(votes > 0, bitorder="little").view(np.uint64)[0])
+    return simhash_from_hashes(hash64_array(tokens, seed=0x51))
 
 
 def simhash_bands(h: int, n_bands: int = 4) -> list[int]:
-    """Split a 64-bit simhash into ``n_bands`` equal-width band values."""
-    width = SIMHASH_BITS // n_bands
-    mask = (1 << width) - 1
-    return [(h >> (i * width)) & mask for i in range(n_bands)]
+    """Split a 64-bit simhash into ``n_bands`` band values (widths from
+    _BAND_WIDTHS; equal split if n_bands not in the table)."""
+    widths = _BAND_WIDTHS.get(n_bands, [SIMHASH_BITS // n_bands] * n_bands)
+    out = []
+    off = 0
+    for w in widths:
+        out.append((h >> off) & ((1 << w) - 1))
+        off += w
+    return out
+
+
+def shingle_hashes_from_token_hashes(th: np.ndarray, k: int = 3) -> np.ndarray:
+    """Order-sensitive k-shingle hashes from the (unsorted) token-hash
+    sequence — vectorized mixing instead of string-joined shingles."""
+    n = len(th)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    if n < k:
+        h = np.uint64(0x53)
+        for v in th:
+            h = splitmix64(h ^ v)
+        return np.array([h], dtype=np.uint64)
+    h = splitmix64(th[: n - k + 1] ^ np.uint64(0x53))
+    for j in range(1, k):
+        h = splitmix64(h ^ th[j : n - k + 1 + j])
+    return h
 
 
 def hamming64(a: int, b: int) -> int:

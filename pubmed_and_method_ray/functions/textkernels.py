@@ -136,9 +136,22 @@ def jaro_winkler_similarity(s1: str | None, s2: str | None, p: float = 0.1) -> f
 
 
 def levenshtein(s1: str, s2: str) -> int:
-    """Wagner-Fischer edit distance (two-row DP)."""
+    """Wagner-Fischer edit distance (two-row DP) with common prefix/suffix
+    stripping — near-identical strings (the common case for within-block
+    url paths) cost O(diff²) instead of O(n²)."""
     if s1 == s2:
         return 0
+    # strip common prefix
+    p = 0
+    lim = min(len(s1), len(s2))
+    while p < lim and s1[p] == s2[p]:
+        p += 1
+    # strip common suffix
+    q = 0
+    while q < lim - p and s1[len(s1) - 1 - q] == s2[len(s2) - 1 - q]:
+        q += 1
+    s1 = s1[p : len(s1) - q]
+    s2 = s2[p : len(s2) - q]
     if len(s1) < len(s2):
         s1, s2 = s2, s1
     if not s2:

@@ -12,21 +12,30 @@ from __future__ import annotations
 
 import numpy as np
 
-from .hashing import hash64_array
+from .hashing import splitmix64
 
 N_FEATURES = 1 << 16
 
 
 def ngram_indices(text: str, n: int = 3) -> np.ndarray:
-    """Hashed char-ngram feature indices (with multiplicity) for a string."""
-    t = text.lower()
-    if len(t) < n:
-        grams = [t] if t else []
-    else:
-        grams = [t[i : i + n] for i in range(len(t) - n + 1)]
-    if not grams:
+    """Hashed char-ngram feature indices (with multiplicity) for a string.
+
+    Fully vectorized: the utf-8 byte stream is polynomial-combined over a
+    sliding window and avalanched with splitmix64 — no per-gram Python
+    hashing (this runs once per mention in the hot normalize stage)."""
+    b = np.frombuffer(text.lower().encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+    if len(b) == 0:
         return np.empty(0, dtype=np.int64)
-    return (hash64_array(grams, seed=0xF1) % N_FEATURES).astype(np.int64)
+    if len(b) < n:
+        h = np.uint64(0xF1)
+        for v in b:
+            h = splitmix64(h ^ v)
+        return np.array([int(h) % N_FEATURES], dtype=np.int64)
+    m = len(b) - n + 1
+    h = splitmix64(b[:m] ^ np.uint64(0xF1))
+    for j in range(1, n):
+        h = splitmix64(h ^ b[j : m + j])
+    return (h % np.uint64(N_FEATURES)).astype(np.int64)
 
 
 def partial_df(texts, n: int = 3) -> np.ndarray:

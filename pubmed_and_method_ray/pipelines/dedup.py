@@ -21,6 +21,7 @@ import numpy as np
 import pyarrow as pa
 
 from ..functions.simhash import minhash_band_keys, minhash_signature, simhash64
+from ..rayutil import shuffle_partitions
 
 
 def _read_documents(sf_dir: str, columns=None):
@@ -52,7 +53,7 @@ def dedup_exact(sf_dir: str):
     ds = _read_documents(sf_dir, columns=["doc_id", "text"])
     return (
         ds.map_batches(add_hash, batch_format="pyarrow")
-        .groupby("text_hash")
+        .groupby("text_hash", num_partitions=shuffle_partitions())
         .aggregate(Min("doc_id", alias_name="doc_id"))
     )
 
@@ -93,7 +94,7 @@ def pair_jaccard_docs(sf_dir: str, threshold: float | None = None):
     jaccard — the reference's block pair-gen (and_datasets.sql:44-79)
     fused with its jaccard kernel (string_utils.py:99-109)."""
     ds = _read_documents(sf_dir, columns=["doc_id", "text", "lang", "source"])
-    return ds.groupby(["lang", "source"]).map_groups(
+    return ds.groupby(["lang", "source"], num_partitions=shuffle_partitions()).map_groups(
         lambda g: _pairs_with_jaccard(g, threshold), batch_format="pyarrow"
     )
 
@@ -174,7 +175,7 @@ def dedup_minhash_lsh(sf_dir: str, threshold: float = 0.8, num_perm: int = 64, n
             batch_format="pyarrow",
             concurrency=(1, 8),
         )
-        .groupby("band_key")
+        .groupby("band_key", num_partitions=shuffle_partitions())
         .map_groups(_bucket_pairs, batch_format="pyarrow")
     )
     verified = cands.map_batches(
@@ -189,7 +190,7 @@ def dedup_minhash_lsh(sf_dir: str, threshold: float = 0.8, num_perm: int = 64, n
 
     return (
         verified.map_batches(pair_key, batch_format="pyarrow")
-        .groupby("pk")
+        .groupby("pk", num_partitions=shuffle_partitions())
         .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
         .drop_columns(["pk"])
     )
@@ -222,7 +223,7 @@ def dedup_simhash(sf_dir: str):
     ds = _read_documents(sf_dir, columns=["doc_id", "text"])
     return (
         ds.map_batches(add_simhash, batch_format="pyarrow")
-        .groupby("simhash")
+        .groupby("simhash", num_partitions=shuffle_partitions())
         .map_groups(collect, batch_format="pyarrow")
     )
 

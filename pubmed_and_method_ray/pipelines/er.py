@@ -20,21 +20,16 @@ import numpy as np
 from ..functions.gbt import GBTClassifier
 from ..functions.metrics import calc_metrics, cluster_pairwise_metrics
 from ..sources import checkpoint as ckpt
-from ..stages.blocking import generate_pairs
+from ..stages.blocking import generate_pair_features
 from ..stages.cluster import assign_clusters
-from ..stages.features import (
-    FEATURE_NAMES,
-    edges_from_scores,
-    featurize_pairs,
-    score_pairs,
-)
+from ..stages.features import FEATURE_NAMES, edges_from_scores, score_pairs
 from ..stages.mention_prep import NormalizeMentions, extract_stage, fit_idf
 
 PIPELINE_VERSION = "r1.0"
 
 
 def prepare_mentions(pages_ds, use_tfidf: bool = True, idf_sample_mod: int = 1,
-                     normalize_concurrency=(1, 8)):
+                     normalize_concurrency=(1, 16)):
     """pages -> normalized mentions with similarity payloads."""
     import ray
 
@@ -47,7 +42,7 @@ def prepare_mentions(pages_ds, use_tfidf: bool = True, idf_sample_mod: int = 1,
         NormalizeMentions,
         fn_constructor_kwargs={"idf_ref": idf_ref},
         batch_format="pyarrow",
-        batch_size=1024,
+        batch_size=512,
         concurrency=normalize_concurrency,
     )
 
@@ -72,6 +67,7 @@ def run_er_pipeline(
     n_max: int = 512,
     threshold: float = 0.5,
     use_tfidf: bool = True,
+    idf_sample_mod: int = 1,
     keep_gold: bool = True,
     cc_method: str = "auto",
     evaluate: bool = True,
@@ -94,9 +90,15 @@ def run_er_pipeline(
             return ckpt.checkpoint(ds, os.path.join(workdir, name), name, fp_in)
         return ds.materialize()
 
-    mentions = persist(prepare_mentions(pages_ds, use_tfidf=use_tfidf), "mentions")
-    pairs = generate_pairs(mentions, n_max=n_max, keep_gold=keep_gold)
-    features = persist(featurize_pairs(pairs), "features")
+    mentions = persist(
+        prepare_mentions(pages_ds, use_tfidf=use_tfidf, idf_sample_mod=idf_sample_mod),
+        "mentions",
+    )
+    # fused pair-gen + featurization: one hash shuffle, no wide pair rows
+    features = persist(
+        generate_pair_features(mentions, n_max=n_max, keep_gold=keep_gold),
+        "features",
+    )
 
     if model_json is None:
         if not keep_gold:

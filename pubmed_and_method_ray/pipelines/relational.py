@@ -13,6 +13,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..rayutil import shuffle_partitions
+
 
 def _read(sf_dir: str, table: str, columns=None):
     import ray.data as rd
@@ -70,7 +72,7 @@ def pricing_summary(sf_dir: str):
         ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"],
     ).map_batches(partial, batch_format="pyarrow")
 
-    agg = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+    agg = partials.groupby(["l_returnflag", "l_linestatus"], num_partitions=shuffle_partitions()).aggregate(
         Sum("sum_qty_c", alias_name="sum_qty_c"),
         Sum("sum_base_c", alias_name="sum_base_c"),
         Sum("sum_disc_c", alias_name="sum_disc_c"),
@@ -146,7 +148,7 @@ def revenue_by_nation(sf_dir: str):
     partials = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"]).map_batches(
         Partial, batch_format="pyarrow", concurrency=(1, 4)
     )
-    agg = partials.groupby("n_name").aggregate(Sum("rev_c", alias_name="rev_c"))
+    agg = partials.groupby("n_name", num_partitions=shuffle_partitions()).aggregate(Sum("rev_c", alias_name="rev_c"))
     return agg.map_batches(
         lambda t: pa.Table.from_pydict(
             {
@@ -219,7 +221,7 @@ def events_hour_window(sf_dir: str):
     agg = (
         _read(sf_dir, "events", ["ts", "user_id", "value"])
         .map_batches(bucket, batch_format="pyarrow")
-        .groupby(["user_id", "hour_bucket"])
+        .groupby(["user_id", "hour_bucket"], num_partitions=shuffle_partitions())
         .aggregate(Count(alias_name="n_events"), Sum("value_c", alias_name="value_c"))
     )
     return agg.map_batches(
@@ -243,7 +245,7 @@ def block_census_docs(sf_dir: str):
 
     return (
         _read(sf_dir, "documents", ["lang", "source"])
-        .groupby(["lang", "source"])
+        .groupby(["lang", "source"], num_partitions=shuffle_partitions())
         .aggregate(Count(alias_name="n_docs"))
     )
 
@@ -307,7 +309,7 @@ def pair_gen_docs(sf_dir: str):
 
     return (
         _read(sf_dir, "documents", ["doc_id", "lang", "source"])
-        .groupby(["lang", "source"])
+        .groupby(["lang", "source"], num_partitions=shuffle_partitions())
         .map_groups(pairs, batch_format="pyarrow")
     )
 
@@ -336,6 +338,6 @@ def union_distinct_keys(sf_dir: str):
     )
     return (
         nat.union(reg)
-        .groupby(["name", "kind"])
+        .groupby(["name", "kind"], num_partitions=shuffle_partitions())
         .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
     )

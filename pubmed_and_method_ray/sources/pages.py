@@ -135,9 +135,11 @@ def pages_from_documents_batch(
     texts = batch["text"].to_pylist()
     langs = batch["lang"].to_pylist()
 
-    # Zipf-ish host weights: host h gets weight ~ 1/(h+1)
+    # Zipf-ish host weights ~ 1/sqrt(h+1): the head host holds ~8% of
+    # entities — a genuine mega-block (salting exercised) without making
+    # the whole corpus one block
     ranks = np.arange(n_hosts, dtype=np.float64) + 1.0
-    cum = np.cumsum(1.0 / ranks)
+    cum = np.cumsum(1.0 / np.sqrt(ranks))
     cum /= cum[-1]
 
     urls, tss, htmls, otexts, olangs, ents = [], [], [], [], [], []
@@ -149,13 +151,20 @@ def pages_from_documents_batch(
         host = f"site{host_id}.example.org"
         rng = np.random.default_rng(h64 & 0xFFFFFFFF)
         k = 1 + int(rng.integers(0, expand_k))  # k ∈ [1, expand_k]
-        base_tokens = (text or "").split(" ")
+        # entity-salted vocabulary: the shared documents vocab is tiny, so
+        # cross-entity text would otherwise be near-dup by accident; real
+        # pages differ in content. ~1 salt token per shared token keeps
+        # cross-entity jaccard low while same-entity pages stay near-dup.
+        shared = (text or "").split(" ")
+        base_tokens = list(shared)
+        for i, w in enumerate(shared):
+            base_tokens.append(f"s{doc_id}w{(h64 >> (i % 32)) & 0xFF}n{i}")
         base_ts = _EPOCH_BASE_US + (h64 % 10_000_000) * 1_000_000
         for j in range(k):
             toks = (
                 base_tokens
                 if j == 0
-                else _perturb_tokens(base_tokens, rng, rate=0.06)
+                else _perturb_tokens(base_tokens, rng, rate=0.03)
             )
             body = " ".join(toks)
             title = " ".join(base_tokens[:6]) or ent

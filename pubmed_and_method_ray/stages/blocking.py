@@ -37,7 +37,20 @@ import numpy as np
 import pyarrow as pa
 
 from ..functions.hashing import stable_hash64
+from ..rayutil import shuffle_partitions
 from ..functions.simhash import DEFAULT_BANDS as N_BANDS
+
+def n_pair_buckets() -> int:
+    """Hash-exchange partition count for pair generation: ~2 per CPU
+    (hash-shuffle aggregators are actors; far more partitions than CPUs
+    starves the pool on small clusters, far fewer underuses big ones)."""
+    try:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return max(4, min(256, 2 * cpus))
 
 PAYLOAD_COLS = [
     "url",
@@ -70,7 +83,7 @@ def block_census(mentions_ds):
     """groupby(block_key).count() — the commonness census (SURVEY.md A1)."""
     return (
         mentions_ds.map_batches(emit_block_keys, batch_format="pyarrow")
-        .groupby("block_key")
+        .groupby("block_key", num_partitions=shuffle_partitions())
         .count()
     )
 
@@ -94,12 +107,13 @@ class EmitPairKeys:
     groups: ``pair_key = base#n#i_j``. Stateless per row but holds the
     broadcast skew dict, hence an actor-pool stage."""
 
-    def __init__(self, skew_ref, n_max: int, keep_gold: bool):
+    def __init__(self, skew_ref, n_max: int, keep_gold: bool, n_buckets: int):
         import ray
 
         self.skew = ray.get(skew_ref) if skew_ref is not None else {}
         self.n_max = n_max
         self.keep_gold = keep_gold
+        self.n_buckets = n_buckets
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         hosts = batch["host"].to_pylist()
@@ -124,69 +138,139 @@ class EmitPairKeys:
         if self.keep_gold and "entity_id" in batch.column_names:
             cols.append("entity_id")
         out = batch.select(cols).take(pa.array(take_idx, pa.int64()))
-        return out.append_column("pair_key", pa.array(keys, pa.string()))
+        out = out.append_column("pair_key", pa.array(keys, pa.string()))
+        # group-bucketing: the pair-gen groupby shuffles on this small int
+        # key and each task then processes MANY blocks in one Python call
+        # (per-group map_groups overhead dominates otherwise)
+        import zlib
+
+        buckets = pa.array(
+            [zlib.crc32(k.encode()) % self.n_buckets for k in keys], pa.int32()
+        )
+        return out.append_column("bucket", buckets)
 
 
-def make_pairs_group(group: pa.Table, n_max: int = 512, keep_gold: bool = True) -> pa.Table:
-    """All C(n,2) pairs of one pair-key group, canonical url1<url2, with
-    cross-band and cross-salt exact dedup (see module docstring)."""
-    key = group["pair_key"][0].as_py()
+def _segment_pairs(key: str, seg: np.ndarray, urls: np.ndarray, bands: np.ndarray,
+                   n_max: int):
+    """Pair indices for ONE pair-key segment (global row indices in the
+    bucket table). Returns (left_idx, right_idx, block_size)."""
     base, n_enc, ij = key.rsplit("#", 2)
     band_idx = int(base.rsplit("|", 2)[1])
     n_true = int(n_enc)
     i_salt, j_salt = (int(x) for x in ij.split("_"))
-    rows = group.num_rows
-
-    urls = group["url"].to_pylist()
-    bands = group["bands"].to_pylist()
+    rows = len(seg)
+    seg_urls = urls[seg]
 
     if n_true > 0:
         S = math.ceil(n_true / n_max)
-        salts = [stable_hash64(u, seed=0x5A) % S for u in urls]
+        salts = np.fromiter(
+            (stable_hash64(u, seed=0x5A) % S for u in seg_urls),
+            dtype=np.int64,
+            count=rows,
+        )
         block_size = n_true
     else:
-        salts = [0] * rows
+        salts = np.zeros(rows, dtype=np.int64)
         i_salt = j_salt = 0
         block_size = rows
 
-    left_idx, right_idx = [], []
-    for a in range(rows - 1):
-        for b in range(a + 1, rows):
-            sa, sb = salts[a], salts[b]
-            if i_salt == j_salt:
-                if not (sa == i_salt and sb == i_salt):
-                    continue
-            else:
-                if not ((sa == i_salt and sb == j_salt) or (sa == j_salt and sb == i_salt)):
-                    continue
-            # cross-band dedup: emit only in the first agreeing band
-            ba, bb = bands[a], bands[b]
-            first_band = next((k for k in range(N_BANDS) if ba[k] == bb[k]), None)
-            if first_band != band_idx:
-                continue
-            if urls[a] < urls[b]:
-                left_idx.append(a)
-                right_idx.append(b)
-            else:
-                left_idx.append(b)
-                right_idx.append(a)
+    ai, bi = np.triu_indices(rows, k=1)
+    sa, sb = salts[ai], salts[bi]
+    if i_salt == j_salt:
+        keep = (sa == i_salt) & (sb == i_salt)
+    else:
+        keep = ((sa == i_salt) & (sb == j_salt)) | ((sa == j_salt) & (sb == i_salt))
+    ai, bi = ai[keep], bi[keep]
+    if len(ai):
+        # cross-band dedup: emit only in the first agreeing band
+        eq = bands[seg[ai]] == bands[seg[bi]]  # (P, NB)
+        first_band = np.argmax(eq, axis=1)
+        keep2 = eq.any(axis=1) & (first_band == band_idx)
+        ai, bi = ai[keep2], bi[keep2]
+    if not len(ai):
+        z = np.empty(0, dtype=np.int64)
+        return z, z, block_size
+    ga, gb = seg[ai], seg[bi]
+    flip = urls[ga] > urls[gb]
+    return np.where(flip, gb, ga), np.where(flip, ga, gb), block_size
 
-    cols: dict[str, pa.Array] = {}
+
+def _bucket_pair_indices(group: pa.Table, n_max: int):
+    """(left_idx, right_idx, block_sizes) for ALL pair-key segments in one
+    bucket table (already combined into contiguous chunks)."""
+    keys = np.asarray(group["pair_key"].to_pylist(), dtype=object)
+    urls = np.asarray(group["url"].to_pylist(), dtype=object)
+    bands = np.asarray(group["bands"].to_pylist(), dtype=np.uint64)
+
+    order = np.argsort(keys, kind="stable")
+    sorted_keys = keys[order]
+    uniq, starts = np.unique(sorted_keys, return_index=True)
+    bounds = list(starts) + [len(sorted_keys)]
+
+    lefts, rights, sizes = [], [], []
+    for si, key in enumerate(uniq):
+        seg = order[bounds[si] : bounds[si + 1]]
+        li, ri, bsize = _segment_pairs(key, seg, urls, bands, n_max)
+        if len(li):
+            lefts.append(li)
+            rights.append(ri)
+            sizes.append(np.full(len(li), bsize, dtype=np.int64))
+    if not lefts:
+        z = np.empty(0, dtype=np.int64)
+        return z, z, z
+    return (
+        np.concatenate(lefts),
+        np.concatenate(rights),
+        np.concatenate(sizes),
+    )
+
+
+def make_pairs_bucket(group: pa.Table, n_max: int = 512, keep_gold: bool = True) -> pa.Table:
+    """Wide-pair variant: one row per pair with both sides' payloads.
+    Used by tests and the unfused path; the production pipeline fuses
+    featurization instead (make_features_bucket) so these wide rows never
+    materialize at scale."""
+    # hash-shuffled blocks arrive as many tiny chunks; contiguous memory
+    # first, or every take() below pays per-chunk overhead
+    group = group.combine_chunks()
+    left_idx, right_idx, sizes = _bucket_pair_indices(group, n_max)
+
+    with_label = keep_gold and "entity_id" in group.column_names
+    if not len(left_idx):
+        return _empty_pairs(with_label, group)
     li = pa.array(left_idx, pa.int64())
     ri = pa.array(right_idx, pa.int64())
+    cols: dict[str, pa.Array] = {}
     present = [c for c in PAYLOAD_COLS if c != "bands" and c in group.column_names]
     for side, idx in (("1", li), ("2", ri)):
         for c in present:
             cols[f"{c}_{side}"] = group[c].take(idx)
-    n_pairs = len(left_idx)
-    cols["block_size"] = pa.array([block_size] * n_pairs, pa.int64())
-    if keep_gold and "entity_id" in group.column_names:
-        e1 = group["entity_id"].take(li).to_pylist()
-        e2 = group["entity_id"].take(ri).to_pylist()
+    cols["block_size"] = pa.array(sizes, pa.int64())
+    if with_label:
+        ents = np.asarray(group["entity_id"].to_pylist(), dtype=object)
         cols["label"] = pa.array(
-            [1 if x == y else 0 for x, y in zip(e1, e2)], pa.int8()
+            (ents[left_idx] == ents[right_idx]).astype(np.int8), pa.int8()
         )
-    return pa.Table.from_pydict(cols) if n_pairs else _empty_pairs(keep_gold and "entity_id" in group.column_names, group)
+    return pa.Table.from_pydict(cols)
+
+
+def make_features_bucket(group: pa.Table, n_max: int = 512, keep_gold: bool = True) -> pa.Table:
+    """Fused pair-gen + featurization: emits (url_1, url_2, label?,
+    feature columns) directly from the bucket's mention rows — the
+    16KB-per-pair payload rows of the unfused path never exist
+    (SURVEY.md §7.4 'wide pair rows')."""
+    from .features import empty_features, features_from_indices
+
+    group = group.combine_chunks()
+    left_idx, right_idx, sizes = _bucket_pair_indices(group, n_max)
+    with_label = keep_gold and "entity_id" in group.column_names
+    if not len(left_idx):
+        return empty_features(with_label)
+    labels = None
+    if with_label:
+        ents = np.asarray(group["entity_id"].to_pylist(), dtype=object)
+        labels = (ents[left_idx] == ents[right_idx]).astype(np.int8)
+    return features_from_indices(group, left_idx, right_idx, sizes, labels)
 
 
 def _empty_pairs(with_label: bool, group: pa.Table) -> pa.Table:
@@ -201,24 +285,46 @@ def _empty_pairs(with_label: bool, group: pa.Table) -> pa.Table:
     return pa.Table.from_pydict({f.name: pa.array([], f.type) for f in fields})
 
 
-def generate_pairs(mentions_ds, n_max: int = 512, keep_gold: bool = True):
-    """mentions -> canonical labeled candidate pairs (the one big shuffle)."""
+def _keyed_buckets(mentions_ds, n_max: int, keep_gold: bool):
+    """mentions -> salted/banded pair_key rows, hash-exchanged on the
+    bucket key so WHOLE blocks hold complete pair_key groups (a plain
+    map_batches over full blocks replaces groupby().map_groups and its
+    per-group call overhead)."""
     import ray
 
     census = block_census(mentions_ds)
     skew = skew_table(census, n_max)
     skew_ref = ray.put(skew)
+    n_buckets = n_pair_buckets()
     keyed = mentions_ds.map_batches(
         EmitPairKeys,
         fn_constructor_kwargs={
             "skew_ref": skew_ref,
             "n_max": n_max,
             "keep_gold": keep_gold,
+            "n_buckets": n_buckets,
         },
         batch_format="pyarrow",
         concurrency=(1, 8),
     )
-    return keyed.groupby("pair_key").map_groups(
-        lambda g: make_pairs_group(g, n_max=n_max, keep_gold=keep_gold),
+    return keyed.repartition(num_blocks=n_buckets, keys=["bucket"])
+
+
+def generate_pairs(mentions_ds, n_max: int = 512, keep_gold: bool = True):
+    """mentions -> canonical labeled candidate pairs WITH payloads (one
+    hash-shuffle). Use generate_pair_features for the fused scale path."""
+    return _keyed_buckets(mentions_ds, n_max, keep_gold).map_batches(
+        lambda g: make_pairs_bucket(g, n_max=n_max, keep_gold=keep_gold),
         batch_format="pyarrow",
+        batch_size=None,  # one batch == one whole hash partition block
+    )
+
+
+def generate_pair_features(mentions_ds, n_max: int = 512, keep_gold: bool = True):
+    """mentions -> per-pair FEATURE rows directly (fused pair-gen +
+    featurize; wide pair payloads never materialize)."""
+    return _keyed_buckets(mentions_ds, n_max, keep_gold).map_batches(
+        lambda g: make_features_bucket(g, n_max=n_max, keep_gold=keep_gold),
+        batch_format="pyarrow",
+        batch_size=None,
     )

@@ -46,6 +46,16 @@ def _jaccard_u64(a: np.ndarray, b: np.ndarray) -> float:
     return inter / union if union else 0.0
 
 
+def _list_view(col) -> tuple[np.ndarray, np.ndarray]:
+    """Zero-copy (offsets, flat values) view of an Arrow list column —
+    avoids to_pylist's per-element Python object creation in the hot
+    feature loop. Row i's values are vals[off[i]:off[i+1]]."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    off = np.asarray(arr.offsets)
+    vals = arr.values.to_numpy(zero_copy_only=False)
+    return off, vals
+
+
 def _sparse_cos(i1, w1, i2, w2) -> float:
     if len(i1) == 0 or len(i2) == 0:
         return 0.0
@@ -53,6 +63,111 @@ def _sparse_cos(i1, w1, i2, w2) -> float:
     if len(common) == 0:
         return 0.0
     return float(np.dot(w1[a], w2[b]))
+
+
+def features_from_indices(
+    mentions: pa.Table,
+    li: np.ndarray,
+    ri: np.ndarray,
+    block_size: np.ndarray,
+    labels: np.ndarray | None,
+) -> pa.Table:
+    """Feature vectors for pairs given as (left, right) row indices into a
+    MENTION table — the fused pair-gen+featurize path. Wide per-pair
+    payload rows are never materialized (each mention's token/tfidf lists
+    are touched in place via zero-copy views); output is ids + floats.
+    """
+    n = len(li)
+    urls = np.asarray(mentions["url"].to_pylist(), dtype=object)
+    titles = np.asarray(mentions["title"].to_pylist(), dtype=object)
+    paths = np.asarray(mentions["path"].to_pylist(), dtype=object)
+    langs = np.asarray(mentions["lang"].to_pylist(), dtype=object)
+    ts = np.asarray(mentions["ts_us"].to_numpy(zero_copy_only=False), dtype=np.int64)
+    sh64 = np.asarray(
+        mentions["simhash"].to_numpy(zero_copy_only=False), dtype=np.uint64
+    )
+    to, tv = _list_view(mentions["tok_hashes"])
+    so, sv = _list_view(mentions["sh_hashes"])
+    has_tfidf = "tfidf_idx" in mentions.column_names
+    if has_tfidf:
+        io_, iv = _list_view(mentions["tfidf_idx"])
+        wo, wv = _list_view(mentions["tfidf_w"])
+
+    jw_title = np.empty(n)
+    jw_path = np.empty(n)
+    lev_path = np.empty(n)
+    jac_tok = np.empty(n)
+    jac_sh = np.empty(n)
+    cos = np.zeros(n)
+    same_lang = np.empty(n)
+    # memoized string kernels: same-entity pages share identical titles
+    # and candidate pairs repeat (title_a, title_b) combinations many
+    # times, so the O(len^2) JW/levenshtein run once per distinct pair
+    jw_memo: dict = {}
+    path_memo: dict = {}
+    for k in range(n):
+        a, b = li[k], ri[k]
+        tkey = (titles[a], titles[b])
+        v = jw_memo.get(tkey)
+        if v is None:
+            v = jw_memo[tkey] = jaro_winkler_similarity(tkey[0], tkey[1])
+        jw_title[k] = v
+        pa_, pb = paths[a], paths[b]
+        pkey = (pa_, pb)
+        pv = path_memo.get(pkey)
+        if pv is None:
+            pv = path_memo[pkey] = (
+                jaro_winkler_similarity(pa_, pb),
+                1.0 - levenshtein(pa_, pb) / max(len(pa_), len(pb), 1),
+            )
+        jw_path[k] = pv[0]
+        lev_path[k] = pv[1]
+        jac_tok[k] = _jaccard_u64(tv[to[a] : to[a + 1]], tv[to[b] : to[b + 1]])
+        jac_sh[k] = _jaccard_u64(sv[so[a] : so[a + 1]], sv[so[b] : so[b + 1]])
+        if has_tfidf:
+            cos[k] = _sparse_cos(
+                iv[io_[a] : io_[a + 1]],
+                wv[wo[a] : wo[a + 1]],
+                iv[io_[b] : io_[b + 1]],
+                wv[wo[b] : wo[b + 1]],
+            )
+        same_lang[k] = 1.0 if langs[a] == langs[b] else 0.0
+
+    days = np.abs(ts[li] - ts[ri]) / 86_400_000_000.0
+    ts_prox = 1.0 / (1.0 + days)
+    sim_sim = (
+        1.0 - hamming64_arrays(sh64[li], sh64[ri]) / 64.0 if n else np.zeros(0)
+    )
+    ambiguity = np.log1p(block_size.astype(np.float64))
+    l1 = np.array([len(titles[a]) for a in li], dtype=np.float64)
+    l2 = np.array([len(titles[b]) for b in ri], dtype=np.float64)
+    len_ratio = np.minimum(l1, l2) / np.maximum(np.maximum(l1, l2), 1.0)
+
+    feats = [
+        jw_title, jw_path, lev_path, jac_tok, jac_sh, cos,
+        ts_prox, sim_sim, ambiguity, len_ratio, same_lang,
+    ]
+    cols: dict = {
+        "url_1": pa.array(urls[li], pa.string()),
+        "url_2": pa.array(urls[ri], pa.string()),
+    }
+    if labels is not None:
+        cols["label"] = pa.array(labels, pa.int8())
+    for name, arr in zip(FEATURE_NAMES, feats):
+        cols[name] = pa.array(np.asarray(arr, dtype=np.float64), pa.float64())
+    return pa.Table.from_pydict(cols)
+
+
+def empty_features(with_label: bool) -> pa.Table:
+    cols: dict = {
+        "url_1": pa.array([], pa.string()),
+        "url_2": pa.array([], pa.string()),
+    }
+    if with_label:
+        cols["label"] = pa.array([], pa.int8())
+    for name in FEATURE_NAMES:
+        cols[name] = pa.array([], pa.float64())
+    return pa.Table.from_pydict(cols)
 
 
 class PairFeatures:
@@ -74,19 +189,39 @@ class PairFeatures:
             ]
         )
 
-        tok1 = [np.asarray(x, dtype=np.uint64) for x in batch["tok_hashes_1"].to_pylist()]
-        tok2 = [np.asarray(x, dtype=np.uint64) for x in batch["tok_hashes_2"].to_pylist()]
-        sh1 = [np.asarray(x, dtype=np.uint64) for x in batch["sh_hashes_1"].to_pylist()]
-        sh2 = [np.asarray(x, dtype=np.uint64) for x in batch["sh_hashes_2"].to_pylist()]
-        jac_tok = np.array([_jaccard_u64(a, b) for a, b in zip(tok1, tok2)])
-        jac_sh = np.array([_jaccard_u64(a, b) for a, b in zip(sh1, sh2)])
+        to1, tv1 = _list_view(batch["tok_hashes_1"])
+        to2, tv2 = _list_view(batch["tok_hashes_2"])
+        so1, sv1 = _list_view(batch["sh_hashes_1"])
+        so2, sv2 = _list_view(batch["sh_hashes_2"])
+        jac_tok = np.array(
+            [
+                _jaccard_u64(tv1[to1[i] : to1[i + 1]], tv2[to2[i] : to2[i + 1]])
+                for i in range(n)
+            ]
+        )
+        jac_sh = np.array(
+            [
+                _jaccard_u64(sv1[so1[i] : so1[i + 1]], sv2[so2[i] : so2[i + 1]])
+                for i in range(n)
+            ]
+        )
 
         if "tfidf_idx_1" in batch.column_names:
-            i1 = [np.asarray(x, dtype=np.uint32) for x in batch["tfidf_idx_1"].to_pylist()]
-            w1 = [np.asarray(x, dtype=np.float32) for x in batch["tfidf_w_1"].to_pylist()]
-            i2 = [np.asarray(x, dtype=np.uint32) for x in batch["tfidf_idx_2"].to_pylist()]
-            w2 = [np.asarray(x, dtype=np.float32) for x in batch["tfidf_w_2"].to_pylist()]
-            cos = np.array([_sparse_cos(a, b, c, d) for a, b, c, d in zip(i1, w1, i2, w2)])
+            io1, iv1 = _list_view(batch["tfidf_idx_1"])
+            wo1, wv1 = _list_view(batch["tfidf_w_1"])
+            io2, iv2 = _list_view(batch["tfidf_idx_2"])
+            wo2, wv2 = _list_view(batch["tfidf_w_2"])
+            cos = np.array(
+                [
+                    _sparse_cos(
+                        iv1[io1[i] : io1[i + 1]],
+                        wv1[wo1[i] : wo1[i + 1]],
+                        iv2[io2[i] : io2[i + 1]],
+                        wv2[wo2[i] : wo2[i + 1]],
+                    )
+                    for i in range(n)
+                ]
+            )
         else:
             cos = np.zeros(n)
 
@@ -156,7 +291,7 @@ class GBTScorer:
         return pa.Table.from_pydict(cols)
 
 
-def featurize_pairs(pairs_ds, concurrency=(1, 8), batch_size: int = 2048):
+def featurize_pairs(pairs_ds, concurrency=(1, 16), batch_size: int = 2048):
     return pairs_ds.map_batches(
         PairFeatures,
         batch_format="pyarrow",

@@ -14,8 +14,12 @@ import pyarrow as pa
 
 from ..functions.extract import extract_text, extract_title, normalize_host, url_path
 from ..functions.simhash import DEFAULT_BANDS as N_BANDS
-from ..functions.simhash import simhash64, simhash_bands
-from ..functions.textkernels import token_shingles, tokenize
+from ..functions.simhash import (
+    shingle_hashes_from_token_hashes,
+    simhash_bands,
+    simhash_from_hashes,
+)
+from ..functions.textkernels import tokenize
 from ..functions.tfidf import ngram_indices
 from ..functions.hashing import hash64_array
 
@@ -62,12 +66,11 @@ class NormalizeMentions:
         tfidf_idx, tfidf_w = [], []
         for t in texts:
             toks = tokenize(t)
+            # one blake2b pass per token; simhash + shingles derive from it
             th = hash64_array(toks, seed=0x70) if toks else np.empty(0, np.uint64)
             tok_hashes.append(np.unique(th))
-            sh = token_shingles(toks, 3)
-            shh = hash64_array(sh, seed=0x71) if sh else np.empty(0, np.uint64)
-            sh_hashes.append(np.unique(shh))
-            s = simhash64(toks)
+            sh_hashes.append(np.unique(shingle_hashes_from_token_hashes(th, 3)))
+            s = simhash_from_hashes(th)
             simhashes.append(s)
             bands.append(simhash_bands(s, N_BANDS))
             if self.idf is not None:
