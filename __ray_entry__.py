@@ -26,12 +26,16 @@ def entry() -> Any:
     connected components -> (url, cluster_id)."""
     from pubmed_and_method_ray.pipelines.er import run_er_pipeline
     from pubmed_and_method_ray.sources.pages import build_pages_dataset
-    from pubmed_and_method_ray.state import load_pretrained_model_json
+    from pubmed_and_method_ray.state import (
+        load_pretrained_idf,
+        load_pretrained_model_json,
+    )
 
     pages = build_pages_dataset("/root/testdata/sf0.001", expand_k=4)
     out = run_er_pipeline(
         pages,
         model_json=load_pretrained_model_json(),
+        idf=load_pretrained_idf(),
         n_max=512,
         evaluate=False,
     )
@@ -41,11 +45,18 @@ def entry() -> Any:
 def _er_clusters(sf_dir: str):
     from pubmed_and_method_ray.pipelines.er import run_er_pipeline
     from pubmed_and_method_ray.sources.pages import build_pages_dataset
-    from pubmed_and_method_ray.state import load_pretrained_model_json
+    from pubmed_and_method_ray.state import (
+        load_pretrained_idf,
+        load_pretrained_model_json,
+    )
 
     pages = build_pages_dataset(sf_dir, expand_k=3)
     out = run_er_pipeline(
-        pages, model_json=load_pretrained_model_json(), n_max=512, evaluate=False
+        pages,
+        model_json=load_pretrained_model_json(),
+        idf=load_pretrained_idf(),
+        n_max=512,
+        evaluate=False,
     )
     return out["clusters"]
 
@@ -53,12 +64,19 @@ def _er_clusters(sf_dir: str):
 def _er_match_edges(sf_dir: str):
     from pubmed_and_method_ray.pipelines.er import run_er_pipeline
     from pubmed_and_method_ray.sources.pages import build_pages_dataset
-    from pubmed_and_method_ray.state import load_pretrained_model_json
+    from pubmed_and_method_ray.state import (
+        load_pretrained_idf,
+        load_pretrained_model_json,
+    )
     from pubmed_and_method_ray.stages.features import edges_from_scores
 
     pages = build_pages_dataset(sf_dir, expand_k=3)
     out = run_er_pipeline(
-        pages, model_json=load_pretrained_model_json(), n_max=512, evaluate=False
+        pages,
+        model_json=load_pretrained_model_json(),
+        idf=load_pretrained_idf(),
+        n_max=512,
+        evaluate=False,
     )
     return edges_from_scores(out["scored"], 0.5)
 

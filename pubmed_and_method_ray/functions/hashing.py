@@ -37,12 +37,15 @@ def stable_hash64(s: str, seed: int = 0) -> int:
 
 
 def splitmix64(x: np.ndarray | int):
-    """Vectorized splitmix64 finalizer — cheap avalanche for integer keys."""
-    x = np.asarray(x, dtype=np.uint64)
-    x = (x + np.uint64(_SM_GAMMA)) & np.uint64(MASK64)
-    x = ((x ^ (x >> np.uint64(30))) * np.uint64(_SM_M1)) & np.uint64(MASK64)
-    x = ((x ^ (x >> np.uint64(27))) * np.uint64(_SM_M2)) & np.uint64(MASK64)
-    return x ^ (x >> np.uint64(31))
+    """Vectorized splitmix64 finalizer — cheap avalanche for integer keys.
+    uint64 multiplication wraps mod 2^64 by design (suppress the numpy
+    overflow warning)."""
+    with np.errstate(over="ignore"):
+        x = np.asarray(x, dtype=np.uint64)
+        x = (x + np.uint64(_SM_GAMMA)) & np.uint64(MASK64)
+        x = ((x ^ (x >> np.uint64(30))) * np.uint64(_SM_M1)) & np.uint64(MASK64)
+        x = ((x ^ (x >> np.uint64(27))) * np.uint64(_SM_M2)) & np.uint64(MASK64)
+        return x ^ (x >> np.uint64(31))
 
 
 def hash64_array(strings, seed: int = 0) -> np.ndarray:

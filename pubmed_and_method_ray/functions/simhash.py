@@ -85,17 +85,23 @@ def hamming64_arrays(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return np.unpackbits(x.reshape(len(a), 8), axis=1).sum(axis=1).astype(np.int64)
 
 
+def minhash_from_hashes(base: np.ndarray, num_perm: int = 64, seed: int = 7) -> np.ndarray:
+    """MinHash signature from precomputed element hashes (uint64[n])."""
+    if len(base) == 0:
+        return np.full(num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+    seeds = splitmix64(np.arange(1, num_perm + 1, dtype=np.uint64) * np.uint64(seed + 1))
+    # re-key: h_k(t) = splitmix64(base(t) ^ seed_k); min over elements
+    rehash = splitmix64(np.asarray(base, dtype=np.uint64)[:, None] ^ seeds[None, :])
+    return rehash.min(axis=0)
+
+
 def minhash_signature(tokens: list[str], num_perm: int = 64, seed: int = 7) -> np.ndarray:
     """MinHash signature via k independent splitmix64 re-hashes of one
     base blake2b hash per distinct token -> uint64[num_perm]."""
     toks = sorted(set(tokens))
     if not toks:
         return np.full(num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
-    base = hash64_array(toks, seed=seed)  # (n,)
-    seeds = splitmix64(np.arange(1, num_perm + 1, dtype=np.uint64) * np.uint64(seed + 1))
-    # re-key: h_k(t) = splitmix64(base(t) ^ seed_k); min over tokens
-    rehash = splitmix64(base[:, None] ^ seeds[None, :])  # (n, num_perm)
-    return rehash.min(axis=0)
+    return minhash_from_hashes(hash64_array(toks, seed=seed), num_perm, seed)
 
 
 def minhash_band_keys(sig: np.ndarray, n_bands: int = 16) -> list[str]:

@@ -107,46 +107,67 @@ def dedup_ngram_jaccard(sf_dir: str, threshold: float = 0.6):
 # -- MinHash + LSH near-dup (banding -> bucket groupby -> verify) ----------
 
 class _MinhashEmitter:
-    """Actor: shingle -> minhash -> (band_key, doc payload) rows."""
+    """Actor: token 3-shingles -> minhash -> (band_key, doc payload) rows.
 
-    def __init__(self, num_perm: int = 64, n_bands: int = 16):
+    Shingles, not unigram tokens: corpora with a shared small vocabulary
+    make every doc-pair's TOKEN jaccard high (bucket explosion), while
+    shingle sets are order-sensitive and distinctive — the standard
+    MMDS ch.3 construction."""
+
+    def __init__(self, num_perm: int = 64, n_bands: int = 16, shingle_k: int = 3):
         self.num_perm = num_perm
         self.n_bands = n_bands
+        self.shingle_k = shingle_k
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        keys, ids, toksets = [], [], []
+        from ..functions.hashing import hash64_array
+        from ..functions.simhash import minhash_from_hashes
+        from ..functions.textkernels import token_shingles
+
+        keys, ids, shs = [], [], []
         for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-            tokens = sorted(_token_set(text))
-            sig = minhash_signature(tokens, self.num_perm)
+            tokens = (text or "").lower().split(" ")
+            grams = token_shingles(tokens, self.shingle_k)
+            sh = (
+                np.unique(hash64_array(grams, seed=0x99))
+                if grams
+                else np.empty(0, np.uint64)
+            )
+            sig = minhash_from_hashes(sh, self.num_perm)
             for k in minhash_band_keys(sig, self.n_bands):
                 keys.append(k)
                 ids.append(doc_id)
-                toksets.append(tokens)
+                shs.append(sh.tolist())
         return pa.Table.from_pydict(
             {
                 "band_key": pa.array(keys, pa.string()),
                 "doc_id": pa.array(ids, pa.int64()),
-                "tokens": pa.array(toksets, pa.list_(pa.string())),
+                "sh": pa.array(shs, pa.list_(pa.uint64())),
             }
         )
 
 
 def _bucket_pairs(group: pa.Table) -> pa.Table:
+    group = group.combine_chunks()
     ids = group["doc_id"].to_pylist()
-    toks = [set(x) for x in group["tokens"].to_pylist()]
+    arr = group["sh"].combine_chunks() if isinstance(group["sh"], pa.ChunkedArray) else group["sh"]
+    off = np.asarray(arr.offsets)
+    vals = arr.values.to_numpy(zero_copy_only=False)
     order = np.argsort(np.asarray(ids, dtype=np.int64))
     id1, id2, jac = [], [], []
     seen = set()
     for ai in range(len(order) - 1):
         a = order[ai]
+        sa = vals[off[a] : off[a + 1]]
         for bi in range(ai + 1, len(order)):
             b = order[bi]
             key = (ids[a], ids[b])
             if key in seen or ids[a] == ids[b]:
                 continue
             seen.add(key)
-            inter = len(toks[a] & toks[b])
-            union = len(toks[a] | toks[b])
+            sb = vals[off[b] : off[b + 1]]
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            union = len(sa) + len(sb) - inter
             j = inter / union if union else 0.0
             id1.append(key[0])
             id2.append(key[1])
@@ -161,9 +182,10 @@ def _bucket_pairs(group: pa.Table) -> pa.Table:
 
 
 def dedup_minhash_lsh(sf_dir: str, threshold: float = 0.8, num_perm: int = 64, n_bands: int = 16):
-    """MinHash-LSH near-dup: shingle -> minhash -> band bucket groupby ->
-    candidate pairs -> exact-jaccard verify -> canonical dedup.
-    (The scale path: candidates ≪ C(n,2); only band buckets shuffle.)"""
+    """MinHash-LSH near-dup over token 3-shingles: shingle -> minhash ->
+    band bucket groupby -> candidate pairs -> exact shingle-jaccard verify
+    -> canonical dedup. (The scale path: candidates ≪ C(n,2); only band
+    buckets shuffle.)"""
     import pyarrow.compute as pc
     from ray.data.aggregate import Min
 

@@ -23,27 +23,31 @@ from ..sources import checkpoint as ckpt
 from ..stages.blocking import generate_pair_features
 from ..stages.cluster import assign_clusters
 from ..stages.features import FEATURE_NAMES, edges_from_scores, score_pairs
-from ..stages.mention_prep import NormalizeMentions, extract_stage, fit_idf
+from ..stages.mention_prep import extract_stage, fit_idf, normalize_batch
 
 PIPELINE_VERSION = "r1.0"
 
 
 def prepare_mentions(pages_ds, use_tfidf: bool = True, idf_sample_mod: int = 1,
-                     normalize_concurrency=(1, 16)):
-    """pages -> normalized mentions with similarity payloads."""
+                     idf=None):
+    """pages -> normalized mentions with similarity payloads. Pass a
+    pretrained ``idf`` vector to skip the fitting pass (production path:
+    the idf ships with the model in state/). Task-based stages: state
+    arrives as a broadcast ref, so Ray's prestarted workers do the work
+    with no actor-pool spin-up."""
     import ray
 
     extracted = pages_ds.map_batches(extract_stage, batch_format="pyarrow")
     idf_ref = None
     if use_tfidf:
-        idf, _ = fit_idf(extracted, sample_mod=idf_sample_mod)
+        if idf is None:
+            idf, _ = fit_idf(extracted, sample_mod=idf_sample_mod)
         idf_ref = ray.put(idf)
     return extracted.map_batches(
-        NormalizeMentions,
-        fn_constructor_kwargs={"idf_ref": idf_ref},
+        normalize_batch,
+        fn_kwargs={"idf_ref": idf_ref},
         batch_format="pyarrow",
         batch_size=512,
-        concurrency=normalize_concurrency,
     )
 
 
@@ -68,6 +72,7 @@ def run_er_pipeline(
     threshold: float = 0.5,
     use_tfidf: bool = True,
     idf_sample_mod: int = 1,
+    idf=None,
     keep_gold: bool = True,
     cc_method: str = "auto",
     evaluate: bool = True,
@@ -83,31 +88,57 @@ def run_er_pipeline(
 
     def persist(ds, name):
         """Break lineage once per stage: Parquet checkpoint (resumable)
-        when workdir is set, else pin in the object store — every stage
-        below is consumed more than once (census+pairs+assign for
-        mentions, train+score for features, edges+metrics for scores)."""
+        when workdir is set, else pin in the object store."""
         if workdir:
             return ckpt.checkpoint(ds, os.path.join(workdir, name), name, fp_in)
         return ds.materialize()
 
+    def persist_if_reused(ds, name):
+        """Stages consumed exactly once in the streaming production path
+        (no workdir, no eval) stay LAZY — their one consumer drives them
+        with no extra barrier/materialization."""
+        if workdir or evaluate:
+            return persist(ds, name)
+        return ds
+
     mentions = persist(
-        prepare_mentions(pages_ds, use_tfidf=use_tfidf, idf_sample_mod=idf_sample_mod),
+        prepare_mentions(
+            pages_ds,
+            use_tfidf=use_tfidf,
+            idf_sample_mod=idf_sample_mod,
+            idf=idf,
+        ),
         "mentions",
     )
     # fused pair-gen + featurization: one hash shuffle, no wide pair rows
-    features = persist(
-        generate_pair_features(mentions, n_max=n_max, keep_gold=keep_gold),
-        "features",
-    )
+    if model_json is not None:
+        # production path: scoring fused into the same bucket task
+        import ray
 
-    if model_json is None:
+        scored = persist_if_reused(
+            generate_pair_features(
+                mentions,
+                n_max=n_max,
+                keep_gold=keep_gold,
+                model_ref=ray.put(model_json),
+            ),
+            "scored",
+        )
+    else:
         if not keep_gold:
             raise ValueError("model_json required when gold labels absent")
+        features = persist(
+            generate_pair_features(mentions, n_max=n_max, keep_gold=keep_gold),
+            "features",
+        )
         model_json = train_pairwise_model(features)
-
-    scored = persist(score_pairs(features, model_json, threshold=threshold), "scored")
+        scored = persist(
+            score_pairs(features, model_json, threshold=threshold), "scored"
+        )
     edges = edges_from_scores(scored, threshold=threshold)
-    clusters = persist(assign_clusters(mentions, edges, method=cc_method), "clusters")
+    clusters = persist_if_reused(
+        assign_clusters(mentions, edges, method=cc_method), "clusters"
+    )
 
     out = {"clusters": clusters, "scored": scored, "model_json": model_json}
 

@@ -193,15 +193,20 @@ def pages_from_documents_batch(
 def build_pages_dataset(
     sf_dir: str,
     expand_k: int = 4,
-    n_hosts: int = 50,
+    n_hosts: int | None = None,
     seed: int = 42,
     repeat: int = 1,
 ):
     """Distributed corpus build: documents.parquet -> pages Dataset.
 
     ``repeat`` > 1 replicates the documents table with distinct entity
-    namespaces to scale the bench corpus without new inputs.
+    namespaces to scale the bench corpus without new inputs. The host
+    universe grows with ``repeat`` (real corpus growth adds hosts, it
+    doesn't quadruple every host), keeping the block-size distribution
+    stable while the head host still grows into a salted mega-block.
     """
+    if n_hosts is None:
+        n_hosts = 50 * repeat
     import ray.data as rd
 
     ds = rd.read_parquet(

@@ -41,16 +41,17 @@ from ..rayutil import shuffle_partitions
 from ..functions.simhash import DEFAULT_BANDS as N_BANDS
 
 def n_pair_buckets() -> int:
-    """Hash-exchange partition count for pair generation: ~2 per CPU
-    (hash-shuffle aggregators are actors; far more partitions than CPUs
-    starves the pool on small clusters, far fewer underuses big ones)."""
+    """Hash-exchange partition count for pair generation: one per CPU —
+    full downstream task parallelism; more than that only adds hash
+    aggregator-actor churn on a single node (measured: 32 partitions
+    4.6s vs 64 partitions 7.8s on the same exchange)."""
     try:
         import ray
 
         cpus = int(ray.cluster_resources().get("CPU", 8))
     except Exception:
         cpus = 8
-    return max(4, min(256, 2 * cpus))
+    return max(4, min(64, cpus))
 
 PAYLOAD_COLS = [
     "url",
@@ -80,12 +81,54 @@ def emit_block_keys(batch: pa.Table) -> pa.Table:
 
 
 def block_census(mentions_ds):
-    """groupby(block_key).count() — the commonness census (SURVEY.md A1)."""
+    """groupby(block_key).count() — the commonness census (SURVEY.md A1).
+    Exact shuffle version (the 10^12-key scale path)."""
     return (
         mentions_ds.map_batches(emit_block_keys, batch_format="pyarrow")
         .groupby("block_key", num_partitions=shuffle_partitions())
         .count()
     )
+
+
+def _census_partials(batch: pa.Table, sample_mod: int = 1) -> pa.Table:
+    """Per-batch partial key counts (pre-aggregation, SURVEY.md §4).
+    ``sample_mod`` > 1 counts a deterministic 1/mod mention sample."""
+    from collections import Counter
+
+    hosts = batch["host"].to_pylist()
+    bands = batch["bands"].to_pylist()
+    if sample_mod > 1:
+        urls = batch["url"].to_pylist()
+        keep = [stable_hash64(u, seed=0xCE) % sample_mod == 0 for u in urls]
+        hosts = [h for h, k in zip(hosts, keep) if k]
+        bands = [b for b, k in zip(bands, keep) if k]
+    c = Counter(k for h, bs in zip(hosts, bands) for k in _base_keys(h, bs))
+    return pa.Table.from_pydict(
+        {
+            "block_key": pa.array(list(c.keys()), pa.string()),
+            "n": pa.array(list(c.values()), pa.int64()),
+        }
+    )
+
+
+def skew_table_fast(mentions_ds, n_max: int, sample_mod: int = 8) -> dict:
+    """Skew census on a deterministic 1/sample_mod mention sample, scaled
+    back up. SAFE approximation: salting is a load-balancing device —
+    pair coverage is exact with or without it — and a block big enough to
+    need salting (n > n_max >= 128) puts ~n/mod >= 16 mentions in the
+    sample, so the heavy tail is detected reliably. Driver merge is 8x
+    faster than a hash-shuffle groupby at this key cardinality; beyond
+    ~10^8 distinct sampled keys use skew_table(block_census(ds), n_max)."""
+    totals: dict[str, int] = {}
+    parts = mentions_ds.map_batches(
+        _census_partials, fn_kwargs={"sample_mod": sample_mod}, batch_format="pyarrow"
+    )
+    for b in parts.iter_batches(batch_format="pyarrow", batch_size=262144):
+        for k, n in zip(b["block_key"].to_pylist(), b["n"].to_pylist()):
+            totals[k] = totals.get(k, 0) + n
+    return {
+        k: n * sample_mod for k, n in totals.items() if n * sample_mod > n_max
+    }
 
 
 def skew_table(census_ds, n_max: int) -> dict:
@@ -102,52 +145,47 @@ def skew_table(census_ds, n_max: int) -> dict:
     return skew
 
 
-class EmitPairKeys:
+def emit_pair_keys(
+    batch: pa.Table, skew_ref, n_max: int, keep_gold: bool, n_buckets: int
+) -> pa.Table:
     """Replicate each mention to its (possibly salted) pair-generation
-    groups: ``pair_key = base#n#i_j``. Stateless per row but holds the
-    broadcast skew dict, hence an actor-pool stage."""
+    groups: ``pair_key = base#n#i_j``. Task-based: the broadcast skew
+    dict is fetched once per worker (get_broadcast cache)."""
+    from .mention_prep import get_broadcast
 
-    def __init__(self, skew_ref, n_max: int, keep_gold: bool, n_buckets: int):
-        import ray
-
-        self.skew = ray.get(skew_ref) if skew_ref is not None else {}
-        self.n_max = n_max
-        self.keep_gold = keep_gold
-        self.n_buckets = n_buckets
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        hosts = batch["host"].to_pylist()
-        bands = batch["bands"].to_pylist()
-        urls = batch["url"].to_pylist()
-        keys: list[str] = []
-        take_idx: list[int] = []
-        for row, (h, bs, u) in enumerate(zip(hosts, bands, urls)):
-            for base in _base_keys(h, bs):
-                n = self.skew.get(base)
-                if n is None:
-                    keys.append(f"{base}#0#0_0")
+    skew = get_broadcast(skew_ref) or {}
+    hosts = batch["host"].to_pylist()
+    bands = batch["bands"].to_pylist()
+    urls = batch["url"].to_pylist()
+    keys: list[str] = []
+    take_idx: list[int] = []
+    for row, (h, bs, u) in enumerate(zip(hosts, bands, urls)):
+        for base in _base_keys(h, bs):
+            n = skew.get(base)
+            if n is None:
+                keys.append(f"{base}#0#0_0")
+                take_idx.append(row)
+            else:
+                S = math.ceil(n / n_max)
+                s = stable_hash64(u, seed=0x5A) % S
+                for i in range(S):
+                    a, b = (i, s) if i < s else (s, i)
+                    keys.append(f"{base}#{n}#{a}_{b}")
                     take_idx.append(row)
-                else:
-                    S = math.ceil(n / self.n_max)
-                    s = stable_hash64(u, seed=0x5A) % S
-                    for i in range(S):
-                        a, b = (i, s) if i < s else (s, i)
-                        keys.append(f"{base}#{n}#{a}_{b}")
-                        take_idx.append(row)
-        cols = [c for c in PAYLOAD_COLS if c in batch.column_names]
-        if self.keep_gold and "entity_id" in batch.column_names:
-            cols.append("entity_id")
-        out = batch.select(cols).take(pa.array(take_idx, pa.int64()))
-        out = out.append_column("pair_key", pa.array(keys, pa.string()))
-        # group-bucketing: the pair-gen groupby shuffles on this small int
-        # key and each task then processes MANY blocks in one Python call
-        # (per-group map_groups overhead dominates otherwise)
-        import zlib
+    cols = [c for c in PAYLOAD_COLS if c in batch.column_names]
+    if keep_gold and "entity_id" in batch.column_names:
+        cols.append("entity_id")
+    out = batch.select(cols).take(pa.array(take_idx, pa.int64()))
+    out = out.append_column("pair_key", pa.array(keys, pa.string()))
+    # group-bucketing: the pair-gen exchange shuffles on this small int
+    # key and each downstream task then processes MANY blocks in one
+    # Python call (per-group map_groups overhead dominates otherwise)
+    import zlib
 
-        buckets = pa.array(
-            [zlib.crc32(k.encode()) % self.n_buckets for k in keys], pa.int32()
-        )
-        return out.append_column("bucket", buckets)
+    buckets = pa.array(
+        [zlib.crc32(k.encode()) % n_buckets for k in keys], pa.int32()
+    )
+    return out.append_column("bucket", buckets)
 
 
 def _segment_pairs(key: str, seg: np.ndarray, urls: np.ndarray, bands: np.ndarray,
@@ -193,6 +231,29 @@ def _segment_pairs(key: str, seg: np.ndarray, urls: np.ndarray, bands: np.ndarra
     ga, gb = seg[ai], seg[bi]
     flip = urls[ga] > urls[gb]
     return np.where(flip, gb, ga), np.where(flip, ga, gb), block_size
+
+
+def _split_bucket_blocks(part: pa.Table, n_splits: int):
+    """Slice one exchanged partition into ~n_splits blocks WITHOUT
+    breaking pair_key groups (sorted by key, cut at group boundaries).
+    Emitted as a generator so Ray Data treats each slice as its own block
+    and downstream feature tasks fan out across all CPUs."""
+    part = part.combine_chunks()
+    if n_splits <= 1 or part.num_rows == 0:
+        yield part
+        return
+    keys = np.asarray(part["pair_key"].to_pylist(), dtype=object)
+    order = np.argsort(keys, kind="stable")
+    sorted_keys = keys[order]
+    # group boundary positions in the sorted view
+    change = np.nonzero(sorted_keys[1:] != sorted_keys[:-1])[0] + 1
+    bounds = np.concatenate([[0], change, [len(sorted_keys)]])
+    targets = np.linspace(0, len(sorted_keys), n_splits + 1)[1:-1]
+    cut_idx = np.unique(bounds[np.searchsorted(bounds, targets)])
+    cuts = [0, *[int(c) for c in cut_idx], len(sorted_keys)]
+    for a, b in zip(cuts[:-1], cuts[1:]):
+        if b > a:
+            yield part.take(pa.array(order[a:b], pa.int64()))
 
 
 def _bucket_pair_indices(group: pa.Table, n_max: int):
@@ -254,23 +315,34 @@ def make_pairs_bucket(group: pa.Table, n_max: int = 512, keep_gold: bool = True)
     return pa.Table.from_pydict(cols)
 
 
-def make_features_bucket(group: pa.Table, n_max: int = 512, keep_gold: bool = True) -> pa.Table:
-    """Fused pair-gen + featurization: emits (url_1, url_2, label?,
-    feature columns) directly from the bucket's mention rows — the
-    16KB-per-pair payload rows of the unfused path never exist
-    (SURVEY.md §7.4 'wide pair rows')."""
-    from .features import empty_features, features_from_indices
+def make_features_bucket(
+    group: pa.Table,
+    n_max: int = 512,
+    keep_gold: bool = True,
+    model_ref=None,
+) -> pa.Table:
+    """Fused pair-gen + featurization (+ optional scoring): emits
+    (url_1, url_2, label?, feature columns[, score]) directly from the
+    bucket's mention rows — the 16KB-per-pair payload rows of the unfused
+    path never exist (SURVEY.md §7.4 'wide pair rows'). With a broadcast
+    ``model_ref`` the GBT scores in the same task (production path: one
+    exchange, one pass, pairs -> scored edges)."""
+    from .features import append_scores, empty_features, features_from_indices, model_from_ref
 
     group = group.combine_chunks()
     left_idx, right_idx, sizes = _bucket_pair_indices(group, n_max)
     with_label = keep_gold and "entity_id" in group.column_names
     if not len(left_idx):
-        return empty_features(with_label)
-    labels = None
-    if with_label:
-        ents = np.asarray(group["entity_id"].to_pylist(), dtype=object)
-        labels = (ents[left_idx] == ents[right_idx]).astype(np.int8)
-    return features_from_indices(group, left_idx, right_idx, sizes, labels)
+        out = empty_features(with_label)
+    else:
+        labels = None
+        if with_label:
+            ents = np.asarray(group["entity_id"].to_pylist(), dtype=object)
+            labels = (ents[left_idx] == ents[right_idx]).astype(np.int8)
+        out = features_from_indices(group, left_idx, right_idx, sizes, labels)
+    if model_ref is not None:
+        out = append_scores(out, model_from_ref(model_ref))
+    return out
 
 
 def _empty_pairs(with_label: bool, group: pa.Table) -> pa.Table:
@@ -292,20 +364,18 @@ def _keyed_buckets(mentions_ds, n_max: int, keep_gold: bool):
     per-group call overhead)."""
     import ray
 
-    census = block_census(mentions_ds)
-    skew = skew_table(census, n_max)
+    skew = skew_table_fast(mentions_ds, n_max)
     skew_ref = ray.put(skew)
     n_buckets = n_pair_buckets()
     keyed = mentions_ds.map_batches(
-        EmitPairKeys,
-        fn_constructor_kwargs={
+        emit_pair_keys,
+        fn_kwargs={
             "skew_ref": skew_ref,
             "n_max": n_max,
             "keep_gold": keep_gold,
             "n_buckets": n_buckets,
         },
         batch_format="pyarrow",
-        concurrency=(1, 8),
     )
     return keyed.repartition(num_blocks=n_buckets, keys=["bucket"])
 
@@ -320,11 +390,16 @@ def generate_pairs(mentions_ds, n_max: int = 512, keep_gold: bool = True):
     )
 
 
-def generate_pair_features(mentions_ds, n_max: int = 512, keep_gold: bool = True):
+def generate_pair_features(
+    mentions_ds, n_max: int = 512, keep_gold: bool = True, model_ref=None
+):
     """mentions -> per-pair FEATURE rows directly (fused pair-gen +
-    featurize; wide pair payloads never materialize)."""
+    featurize; wide pair payloads never materialize). With ``model_ref``
+    the rows come back scored too."""
     return _keyed_buckets(mentions_ds, n_max, keep_gold).map_batches(
-        lambda g: make_features_bucket(g, n_max=n_max, keep_gold=keep_gold),
+        lambda g: make_features_bucket(
+            g, n_max=n_max, keep_gold=keep_gold, model_ref=model_ref
+        ),
         batch_format="pyarrow",
         batch_size=None,
     )

@@ -135,13 +135,23 @@ def assign_clusters(
     any match edge become singleton clusters (cluster_id = own url)."""
     import ray
 
+    collected: list | None = None
     if method == "auto":
-        method = (
-            "driver" if edges_ds.count() <= driver_max_edges else "distributed"
-        )
+        # single streaming pass: collect edges up to the driver budget;
+        # fall back to the distributed path only if the budget overflows
+        collected = []
+        for b in edges_ds.iter_batches(batch_format="pyarrow", batch_size=65536):
+            collected.extend(zip(b["url_1"].to_pylist(), b["url_2"].to_pylist()))
+            if len(collected) > driver_max_edges:
+                collected = None
+                break
+        method = "driver" if collected is not None else "distributed"
 
     if method == "driver":
-        mapping = _as_ref(connected_components_driver(edges_ds))
+        if collected is not None:
+            mapping = _as_ref(_union_find_clusters(collected))
+        else:
+            mapping = _as_ref(connected_components_driver(edges_ds))
 
         class Assign:
             def __init__(self, mapping_ref):

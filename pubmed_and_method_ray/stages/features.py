@@ -266,6 +266,38 @@ class PairFeatures:
         return pa.Table.from_pydict(cols)
 
 
+_MODEL_CACHE: dict = {}
+
+
+def model_from_ref(model_ref):
+    """Deserialize the broadcast GBT once per worker process (map tasks
+    reuse workers, so the JSON parse cost is amortized like actor state)."""
+    key = model_ref.hex() if hasattr(model_ref, "hex") else str(model_ref)
+    m = _MODEL_CACHE.get(key)
+    if m is None:
+        import ray
+
+        from ..functions.gbt import GBTClassifier
+
+        m = _MODEL_CACHE[key] = GBTClassifier.from_json(ray.get(model_ref))
+    return m
+
+
+def append_scores(features_table: pa.Table, model) -> pa.Table:
+    """Append p(match) to a feature table (vectorized GBT predict)."""
+    if features_table.num_rows == 0:
+        return features_table.append_column("score", pa.array([], pa.float64()))
+    X = np.column_stack(
+        [
+            features_table[c].to_numpy(zero_copy_only=False)
+            for c in FEATURE_NAMES
+        ]
+    )
+    return features_table.append_column(
+        "score", pa.array(model.predict_proba(X), pa.float64())
+    )
+
+
 class GBTScorer:
     """Actor-pool scorer: feature vector -> p(match). Model weights are
     broadcast once (ray.put on the driver, ray.get per actor __init__) —

@@ -3,8 +3,13 @@
 Maps of SURVEY.md §2.2 (M1-M11) onto the web-page mention model: the
 deterministic extractor (S6 analog), host/url normalization (M7 analog),
 tokenization (M1), shingling and the SimHash blocking signature (D5).
-All stages are stateless ``map_batches`` over Arrow batches; the per-row
-Python work is bounded (regex + hashing) and batched.
+
+Stages are plain map_batches FUNCTIONS (tasks reuse Ray's prestarted
+worker pool — no actor-pool spin-up latency); the "stateful" part (the
+fitted IDF vector, the reference's load-once tagger analog at
+/root/reference/src/eutilities/string_utils.py:119-121) is a broadcast
+``ray.put`` ref fetched zero-copy from plasma and cached per worker
+process.
 """
 
 from __future__ import annotations
@@ -45,68 +50,113 @@ def extract_stage(batch: pa.Table) -> pa.Table:
     )
 
 
-class NormalizeMentions:
-    """Stateful normalization actor: compiled patterns + tf-idf IDF vector
-    loaded once per actor (SURVEY.md §2.3 pattern; the per-process tagger
-    state of /root/reference/src/eutilities/string_utils.py:119-121
-    becomes actor __init__ state).
+_REF_CACHE: dict = {}
 
-    Emits per-mention similarity payloads: token hashes, 3-shingle hashes,
-    simhash + band values, sparse tf-idf vector, microsecond timestamp.
-    """
 
-    def __init__(self, idf_ref=None):
+def get_broadcast(ref):
+    """Fetch a ray.put broadcast once per worker process (numpy payloads
+    come back zero-copy from plasma; the cache skips repeat deserializes
+    for dict payloads)."""
+    if ref is None:
+        return None
+    key = ref.hex() if hasattr(ref, "hex") else str(ref)
+    if key not in _REF_CACHE:
         import ray
 
-        self.idf = ray.get(idf_ref) if idf_ref is not None else None
+        _REF_CACHE[key] = ray.get(ref)
+    return _REF_CACHE[key]
+
+
+def _list_array(arrs: list[np.ndarray], pa_type) -> pa.ListArray:
+    """Build a ListArray from per-row numpy arrays without tolist()."""
+    lengths = np.fromiter((len(a) for a in arrs), dtype=np.int64, count=len(arrs))
+    offsets = np.zeros(len(arrs) + 1, dtype=np.int32)
+    np.cumsum(lengths, out=offsets[1:])
+    if offsets[-1] > 0:
+        values = np.concatenate(arrs)
+        va = pa.array(values, pa_type)
+    else:
+        va = pa.array([], pa_type)
+    return pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), va)
+
+
+TFIDF_TOP_K = 128  # keep the K heaviest tf-idf components per mention
+
+
+def normalize_batch(batch: pa.Table, idf_ref=None) -> pa.Table:
+    """Emit per-mention similarity payloads: token hashes, 3-shingle
+    hashes, simhash + band values, sparse tf-idf vector, µs timestamp.
+
+    Payload budget matters — every byte here is replicated N_BANDS times
+    through the pair-generation exchange: token/shingle sets are 32-bit
+    hashes (per-doc collision odds ~n²/2³², immaterial for jaccard), the
+    tf-idf vector keeps its top-K components (l2-renormalized), and the
+    raw text/timestamp columns are dropped."""
+    idf = get_broadcast(idf_ref)
+    texts = batch["text_extracted"].to_pylist()
+    tok_hashes, sh_hashes, simhashes, bands = [], [], [], []
+    tfidf_idx, tfidf_w = [], []
+    for t in texts:
+        toks = tokenize(t)
+        # one blake2b pass per token; simhash + shingles derive from it
+        th = hash64_array(toks, seed=0x70) if toks else np.empty(0, np.uint64)
+        tok_hashes.append(np.unique((th >> np.uint64(32)).astype(np.uint32)))
+        sh_hashes.append(
+            np.unique(
+                (shingle_hashes_from_token_hashes(th, 3) >> np.uint64(32)).astype(
+                    np.uint32
+                )
+            )
+        )
+        s = simhash_from_hashes(th)
+        simhashes.append(s)
+        bands.append(simhash_bands(s, N_BANDS))
+        if idf is not None:
+            idx = ngram_indices(t)
+            if len(idx):
+                uniq, counts = np.unique(idx, return_counts=True)
+                w = counts.astype(np.float32) * idf[uniq]
+                if len(uniq) > TFIDF_TOP_K:
+                    keep = np.argpartition(-w, TFIDF_TOP_K)[:TFIDF_TOP_K]
+                    keep.sort()  # back to ascending index order
+                    uniq, w = uniq[keep], w[keep]
+                norm = float(np.sqrt((w * w).sum()))
+                if norm > 0:
+                    w /= norm
+                tfidf_idx.append(uniq.astype(np.uint32))
+                tfidf_w.append(w)
+            else:
+                tfidf_idx.append(np.empty(0, np.uint32))
+                tfidf_w.append(np.empty(0, np.float32))
+
+    ts = batch["warc_ts"].cast(pa.int64())
+    drop = [
+        c for c in ("text_extracted", "text", "warc_ts") if c in batch.column_names
+    ]
+    out = (
+        batch.drop_columns(drop)
+        .append_column("ts_us", ts)
+        .append_column("tok_hashes", _list_array(tok_hashes, pa.uint32()))
+        .append_column("sh_hashes", _list_array(sh_hashes, pa.uint32()))
+        .append_column("simhash", pa.array(simhashes, pa.uint64()))
+        .append_column("bands", pa.array(bands, pa.list_(pa.uint64(), N_BANDS)))
+    )
+    if idf is not None:
+        out = out.append_column(
+            "tfidf_idx", _list_array(tfidf_idx, pa.uint32())
+        ).append_column("tfidf_w", _list_array(tfidf_w, pa.float32()))
+    return out
+
+
+class NormalizeMentions:
+    """Actor-style wrapper kept for API parity (tests); delegates to
+    normalize_batch."""
+
+    def __init__(self, idf_ref=None):
+        self.idf_ref = idf_ref
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch["text_extracted"].to_pylist()
-        tok_hashes, sh_hashes, simhashes, bands = [], [], [], []
-        tfidf_idx, tfidf_w = [], []
-        for t in texts:
-            toks = tokenize(t)
-            # one blake2b pass per token; simhash + shingles derive from it
-            th = hash64_array(toks, seed=0x70) if toks else np.empty(0, np.uint64)
-            tok_hashes.append(np.unique(th))
-            sh_hashes.append(np.unique(shingle_hashes_from_token_hashes(th, 3)))
-            s = simhash_from_hashes(th)
-            simhashes.append(s)
-            bands.append(simhash_bands(s, N_BANDS))
-            if self.idf is not None:
-                idx = ngram_indices(t)
-                if len(idx):
-                    uniq, counts = np.unique(idx, return_counts=True)
-                    w = counts.astype(np.float32) * self.idf[uniq]
-                    norm = float(np.sqrt((w * w).sum()))
-                    if norm > 0:
-                        w /= norm
-                    tfidf_idx.append(uniq.astype(np.uint32))
-                    tfidf_w.append(w)
-                else:
-                    tfidf_idx.append(np.empty(0, np.uint32))
-                    tfidf_w.append(np.empty(0, np.float32))
-
-        ts = batch["warc_ts"].cast(pa.int64())
-        out = (
-            batch.drop_columns(["text_extracted"])
-            .append_column("ts_us", ts)
-            .append_column(
-                "tok_hashes", pa.array([a.tolist() for a in tok_hashes], pa.list_(pa.uint64()))
-            )
-            .append_column(
-                "sh_hashes", pa.array([a.tolist() for a in sh_hashes], pa.list_(pa.uint64()))
-            )
-            .append_column("simhash", pa.array(simhashes, pa.uint64()))
-            .append_column("bands", pa.array(bands, pa.list_(pa.uint64(), N_BANDS)))
-        )
-        if self.idf is not None:
-            out = out.append_column(
-                "tfidf_idx", pa.array([a.tolist() for a in tfidf_idx], pa.list_(pa.uint32()))
-            ).append_column(
-                "tfidf_w", pa.array([a.tolist() for a in tfidf_w], pa.list_(pa.float32()))
-            )
-        return out
+        return normalize_batch(batch, self.idf_ref)
 
 
 def fit_idf(ds, sample_mod: int = 1):

@@ -23,12 +23,20 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
 
     from ..pipelines.er import run_er_pipeline
     from ..sources.pages import build_pages_dataset
-    from . import save_model_json
+    from ..stages.mention_prep import extract_stage, fit_idf
+    from . import save_idf, save_model_json
 
     pages = build_pages_dataset(sf_dir, expand_k=4)
-    out = run_er_pipeline(pages, n_max=512)
+    # the idf table ships with the model (fitted-vectorizer contract)
+    idf, n_docs = fit_idf(pages.map_batches(extract_stage, batch_format="pyarrow"))
+    save_idf(idf)
+    out = run_er_pipeline(pages, n_max=512, idf=idf)
     save_model_json(out["model_json"])
-    print("pair F1:", out["pair_metrics"]["f1"], "cluster F1:", out["cluster_metrics"]["f1"])
+    print(
+        f"idf fitted on {n_docs} pages;",
+        "pair F1:", out["pair_metrics"]["f1"],
+        "cluster F1:", out["cluster_metrics"]["f1"],
+    )
     ray.shutdown()
 
 
