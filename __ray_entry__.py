@@ -111,6 +111,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": text_analysis.lang_id,
         "doc_fingerprint": text_analysis.doc_fingerprint,
         "doc_rolling_fingerprint": text_analysis.doc_rolling_fingerprint,
+        "clean_text_docs": text_analysis.clean_text_docs,
+        "tag_entities": text_analysis.tag_entities,
         # -- multimodal plumbing ------------------------------------------
         "payload_meta": multimodal.payload_meta,
         "multimodal_decode": multimodal.decode_features,
@@ -124,6 +126,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_commonness": relational.doc_commonness,
         "pair_gen_docs": relational.pair_gen_docs,
         "union_distinct_keys": relational.union_distinct_keys,
+        "semi_join_orders": relational.semi_join_orders,
+        "join_order_priority_revenue": relational.join_order_priority_revenue,
+        "user_activity": relational.user_activity,
+        "events_sessions": relational.events_sessions,
+        "deterministic_sample": relational.deterministic_sample,
     }
 
 
@@ -266,5 +273,51 @@ def oracle_sql() -> dict[str, str]:
             "SELECT DISTINCT n_name AS name, 'nation' AS kind FROM nation "
             "UNION ALL "
             "SELECT DISTINCT r_name AS name, 'region' AS kind FROM region"
+        ),
+        "semi_join_orders": (
+            "SELECT o_orderkey, o_custkey, o_totalprice FROM orders "
+            "WHERE o_custkey IN (SELECT c_custkey FROM customer "
+            "WHERE c_mktsegment = 'BUILDING')"
+        ),
+        "join_order_priority_revenue": (
+            "SELECT o_orderpriority, "
+            "SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) "
+            "/ 100.0 AS revenue "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "GROUP BY o_orderpriority"
+        ),
+        "user_activity": (
+            "SELECT user_id, COUNT(*) AS n_events, "
+            "COUNT(DISTINCT event_type) AS n_event_types, "
+            "MIN(epoch_us(ts)) AS first_ts, MAX(epoch_us(ts)) AS last_ts, "
+            "SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)) / 1000000.0 "
+            "AS sum_value "
+            "FROM events GROUP BY user_id"
+        ),
+        "events_sessions": (
+            "SELECT user_id, "
+            "CAST(1 + SUM(CASE WHEN gap > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_sessions "
+            "FROM (SELECT user_id, epoch_us(ts) - lag(epoch_us(ts)) OVER "
+            "(PARTITION BY user_id ORDER BY ts) AS gap FROM events) "
+            "GROUP BY user_id"
+        ),
+        "deterministic_sample": (
+            "SELECT doc_id FROM documents WHERE substring(md5(text), 1, 2) <= '4c'"
+        ),
+        "clean_text_docs": (
+            "SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text), "
+            "'[^a-z]', ' ', 'g'), '\\s+', ' ', 'g')) AS clean FROM documents"
+        ),
+        "tag_entities": (
+            "SELECT doc_id, "
+            "COALESCE(array_to_string(list_sort(list_distinct(list_filter("
+            "str_split(lower(text), ' '), x -> x IN "
+            "('spark', 'table', 'query', 'window', 'vector', 'stream')))), ','), '') "
+            "AS entities, "
+            "len(list_distinct(list_filter(str_split(lower(text), ' '), x -> x IN "
+            "('spark', 'table', 'query', 'window', 'vector', 'stream')))) "
+            "AS n_entities "
+            "FROM documents"
         ),
     }

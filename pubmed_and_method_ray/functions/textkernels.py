@@ -205,6 +205,29 @@ def edit_diff_chars(str1: str, str2: str) -> list[str]:
     return diff
 
 
+def ascii_fold(text: str | None) -> str:
+    """Lowercase, NFD-decompose, strip combining marks — the reference's
+    Unicode name normalizer (src/help/specifal_name_transformer.py:17-22)."""
+    if not text:
+        return ""
+    import unicodedata
+
+    return "".join(
+        ch
+        for ch in unicodedata.normalize("NFD", text.lower())
+        if unicodedata.category(ch) != "Mn"
+    )
+
+
+def clean_text(text: str | None) -> str:
+    """The reference's clean_abstract semantics
+    (database/pubmed_inner_outer_feature.sql:9-21): lowercase, strip
+    non-[a-z] to spaces, collapse whitespace."""
+    if not text:
+        return ""
+    return _WS_RE.sub(" ", _NON_LOWER_RE.sub(" ", text.lower())).strip()
+
+
 def normalize_ws(text: str) -> str:
     """Collapse all whitespace runs to single spaces and strip."""
     return _WS_RE.sub(" ", text).strip()

@@ -1,0 +1,126 @@
+"""User-extension surface (SURVEY.md §2.14): a ``Stage`` protocol +
+registries, the analog of the reference's ``run(method=..., dataset=...,
+cached_file_path=...)`` step API (src/comparison/name_feature_method.py:23)
+and its model/feature registries (src/model/available_model.py:15-18,
+src/comparison/inner_outer_feature_method.py:22-30).
+
+A pipeline is an ordered list of stages; ``run_pipeline`` applies them to
+a Dataset with an optional per-stage Parquet checkpoint (resume skips
+completed stages by fingerprint).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Callable, Protocol, runtime_checkable
+
+from ..sources import checkpoint as ckpt
+
+
+@runtime_checkable
+class Stage(Protocol):
+    """A named Dataset -> Dataset transform with a version string (the
+    version participates in the checkpoint fingerprint)."""
+
+    name: str
+    version: str
+
+    def apply(self, ds):  # pragma: no cover - protocol
+        ...
+
+
+@dataclass
+class FnStage:
+    """Adapter: wrap any Dataset -> Dataset callable as a Stage."""
+
+    name: str
+    fn: Callable
+    version: str = "1"
+    kwargs: dict = field(default_factory=dict)
+
+    def apply(self, ds):
+        return self.fn(ds, **self.kwargs)
+
+
+STAGE_REGISTRY: dict[str, Callable[..., Stage]] = {}
+
+
+def register_stage(name: str):
+    """Decorator: register a Stage factory under a name."""
+
+    def deco(factory):
+        STAGE_REGISTRY[name] = factory
+        return factory
+
+    return deco
+
+
+def make_stage(name: str, **kwargs) -> Stage:
+    try:
+        factory = STAGE_REGISTRY[name]
+    except KeyError:
+        raise KeyError(
+            f"unknown stage {name!r}; available: {sorted(STAGE_REGISTRY)}"
+        ) from None
+    return factory(**kwargs)
+
+
+def run_pipeline(ds, stages: list[Stage], workdir: str | None = None):
+    """Apply stages in order; with ``workdir``, checkpoint each stage to
+    ``{workdir}/{stage.name}`` and resume from completed checkpoints."""
+    fp = ""
+    for stage in stages:
+        fp = ckpt.fingerprint(fp, stage.name, stage.version)
+        out = None
+        if workdir:
+            stage_dir = os.path.join(workdir, stage.name)
+            if ckpt.is_complete(stage_dir, fp):
+                import ray.data as rd
+
+                ds = rd.read_parquet(stage_dir, file_extensions=["parquet"])
+                continue
+        ds = stage.apply(ds)
+        if workdir:
+            ds = ckpt.checkpoint(ds, os.path.join(workdir, stage.name), stage.name, fp)
+    return ds
+
+
+# -- built-in registrations -------------------------------------------------
+
+
+@register_stage("extract_text")
+def _extract_stage_factory(**kwargs):
+    from ..stages.mention_prep import extract_stage
+
+    return FnStage(
+        "extract_text",
+        lambda ds: ds.map_batches(extract_stage, batch_format="pyarrow"),
+        version="1",
+    )
+
+
+@register_stage("normalize")
+def _normalize_stage_factory(idf_ref=None, **kwargs):
+    from ..stages.mention_prep import normalize_batch
+
+    return FnStage(
+        "normalize",
+        lambda ds: ds.map_batches(
+            normalize_batch, fn_kwargs={"idf_ref": idf_ref}, batch_format="pyarrow"
+        ),
+        version="1",
+    )
+
+
+@register_stage("pair_features")
+def _pair_features_factory(n_max: int = 512, keep_gold: bool = True, model_ref=None, **kw):
+    from ..stages.blocking import generate_pair_features
+
+    return FnStage(
+        "pair_features",
+        lambda ds: generate_pair_features(
+            ds, n_max=n_max, keep_gold=keep_gold, model_ref=model_ref
+        ),
+        version="1",
+    )

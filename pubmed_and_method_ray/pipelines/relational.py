@@ -314,6 +314,139 @@ def pair_gen_docs(sf_dir: str):
     )
 
 
+def semi_join_orders(sf_dir: str, segment: str = "BUILDING"):
+    """Broadcast semi-join (J2 analog: the gold-paper filter at
+    database/pubmed_inner_outer_feature.sql:91-92): keep orders whose
+    customer is in the segment — key set broadcast, filter inside
+    map_batches, no shuffle."""
+    import ray
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    keys = frozenset(cust.loc[cust["c_mktsegment"] == segment, "c_custkey"])
+    ref = ray.put(keys)
+
+    def f(t: pa.Table) -> pa.Table:
+        from ..stages.mention_prep import get_broadcast
+
+        keep = get_broadcast(ref)
+        mask = pa.array([k in keep for k in t["o_custkey"].to_pylist()])
+        return t.filter(mask).select(["o_orderkey", "o_custkey", "o_totalprice"])
+
+    return _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
+def join_order_priority_revenue(sf_dir: str):
+    """Large-side hash join via ``Dataset.join`` (orders ⋈ lineitem on the
+    order key — both sides bigger than broadcast budget at scale), then
+    fixed-point revenue rollup per priority class."""
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    line = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        rev = (
+            t["l_extendedprice"].to_numpy(zero_copy_only=False)
+            * (1.0 - t["l_discount"].to_numpy(zero_copy_only=False))
+        )
+        return pa.Table.from_pydict(
+            {
+                "o_orderkey": t["l_orderkey"],
+                "rev_c": pa.array(_to_fixed(rev, 100.0), pa.int64()),
+            }
+        )
+
+    joined = line.map_batches(prep, batch_format="pyarrow").join(
+        orders,
+        join_type="inner",
+        on=("o_orderkey",),
+        num_partitions=shuffle_partitions(),
+    )
+    agg = joined.groupby("o_orderpriority", num_partitions=shuffle_partitions()).aggregate(
+        Sum("rev_c", alias_name="rev_c"),
+    )
+    return agg.map_batches(
+        lambda t: pa.Table.from_pydict(
+            {
+                "o_orderpriority": t["o_orderpriority"],
+                "revenue": pa.array(
+                    t["rev_c"].to_numpy(zero_copy_only=False) / 100.0, pa.float64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def user_activity(sf_dir: str):
+    """Per-user rollup (A3/A4 groupArray analog): event count, distinct
+    event types, first/last timestamp, fixed-point value sum."""
+    import pandas as pd
+
+    def roll(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].astype("int64")
+        return pd.DataFrame(
+            {
+                "user_id": [g["user_id"].iloc[0]],
+                "n_events": [len(g)],
+                "n_event_types": [g["event_type"].nunique()],
+                "first_ts": [int(ts.min())],
+                "last_ts": [int(ts.max())],
+                "sum_value": [
+                    int(_to_fixed(g["value"].to_numpy(), 1e6).sum()) / 1e6
+                ],
+            }
+        )
+
+    return (
+        _read(sf_dir, "events", ["user_id", "event_type", "ts", "value"])
+        .groupby("user_id", num_partitions=shuffle_partitions())
+        .map_groups(roll, batch_format="pandas")
+    )
+
+
+def events_sessions(sf_dir: str, gap_us: int = 1_800_000_000):
+    """Sessionization (streaming-shaped, SURVEY.md §2.13): per user, a new
+    session starts after a >30 min gap; groups sorted by ts inside
+    map_groups — the tumbling/session-window pattern on a batch log."""
+    import pandas as pd
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].astype("int64").sort_values().to_numpy()
+        n_sessions = 1 + int((np.diff(ts) > gap_us).sum()) if len(ts) else 0
+        return pd.DataFrame(
+            {"user_id": [g["user_id"].iloc[0]], "n_sessions": [n_sessions]}
+        )
+
+    return (
+        _read(sf_dir, "events", ["user_id", "ts"])
+        .groupby("user_id", num_partitions=shuffle_partitions())
+        .map_groups(sessions, batch_format="pandas")
+    )
+
+
+def deterministic_sample(sf_dir: str, keep_hex: str = "4c"):
+    """Deterministic hash-threshold sampling (A8/O5 analog — replaces the
+    reference's now64()/rand() sampling with a reproducible rule): keep a
+    doc iff the first md5 byte of its text <= keep_hex (~30%)."""
+    import hashlib
+
+    def f(t: pa.Table) -> pa.Table:
+        keep = [
+            hashlib.md5((x or "").encode("utf-8")).hexdigest()[:2] <= keep_hex
+            for x in t["text"].to_pylist()
+        ]
+        return t.filter(pa.array(keep)).select(["doc_id"])
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
 def union_distinct_keys(sf_dir: str):
     """Union + distinct (D1/D2): all nation/region names tagged by kind."""
     import ray.data as rd

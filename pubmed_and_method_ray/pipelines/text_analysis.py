@@ -127,6 +127,65 @@ def doc_fingerprint(sf_dir: str):
     )
 
 
+def clean_text_docs(sf_dir: str):
+    """(doc_id, clean): the reference's clean_abstract normalization
+    (database/pubmed_inner_outer_feature.sql:9-21) as a vectorizable op."""
+    from ..functions.textkernels import clean_text
+
+    def f(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "doc_id": t["doc_id"],
+                "clean": pa.array(
+                    [clean_text(x) for x in t["text"].to_pylist()], pa.string()
+                ),
+            }
+        )
+
+    return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
+# dictionary gazetteer for the entity-tagger actor (T1 NER / T2 geo-cache
+# analog: /root/reference/src/eutilities/string_utils.py:118-161)
+ENTITY_GAZETTEER = ("spark", "table", "query", "window", "vector", "stream")
+
+
+class EntityTagger:
+    """Stateful tagger actor: gazetteer frozen + per-actor memo cache in
+    __init__ (the load-once NER / memoized geo pattern); emits matched
+    entities per doc as a sorted csv (oracle-friendly scalar)."""
+
+    def __init__(self):
+        self.gazetteer = frozenset(ENTITY_GAZETTEER)
+        self.memo: dict[str, str] = {}
+
+    def _tag(self, text: str) -> str:
+        hit = self.memo.get(text)
+        if hit is None:
+            toks = set((text or "").lower().split(" "))
+            hit = self.memo[text] = ",".join(sorted(toks & self.gazetteer))
+        return hit
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ents = [self._tag(x) for x in t["text"].to_pylist()]
+        n = [0 if e == "" else e.count(",") + 1 for e in ents]
+        return pa.Table.from_pydict(
+            {
+                "doc_id": t["doc_id"],
+                "entities": pa.array(ents, pa.string()),
+                "n_entities": pa.array(n, pa.int64()),
+            }
+        )
+
+
+def tag_entities(sf_dir: str):
+    return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        EntityTagger, batch_format="pyarrow", concurrency=(1, 4)
+    )
+
+
 def doc_rolling_fingerprint(sf_dir: str, window: int = 8):
     """Winnowing-style fingerprint: min rolling hash over token windows
     (Schleimer et al. 2003) — the near-dup fingerprint (rows-only check)."""

@@ -1,0 +1,128 @@
+"""Tests for the extension surface: feature groups, scalers, stage
+registry, ascii folding / text cleaning kernels."""
+
+import numpy as np
+import pytest
+
+from pubmed_and_method_ray.functions.feature_groups import (
+    FEATURE_GROUPS,
+    get_feature_set,
+    select_features,
+)
+from pubmed_and_method_ray.functions.scaling import (
+    MinMaxStandardScaler,
+    fit_scaler_distributed,
+    transform_features,
+)
+from pubmed_and_method_ray.functions.textkernels import ascii_fold, clean_text
+from pubmed_and_method_ray.stages.features import FEATURE_NAMES
+
+
+class TestTextKernels:
+    def test_ascii_fold(self):
+        assert ascii_fold("Crème Brûlée") == "creme brulee"
+        assert ascii_fold("Ångström") == "angstrom"
+        assert ascii_fold(None) == ""
+
+    def test_clean_text(self):
+        assert clean_text("AbC-12 d;;e!") == "abc d e"
+        assert clean_text("") == ""
+        assert clean_text("  x   Y  ") == "x y"
+
+
+class TestFeatureGroups:
+    def test_all_groups_subset_of_features(self):
+        for name, cols in FEATURE_GROUPS.items():
+            assert set(cols) <= set(FEATURE_NAMES), name
+
+    def test_unknown_raises(self):
+        with pytest.raises(KeyError):
+            get_feature_set("nope")
+
+    def test_select_features(self):
+        import ray.data as rd
+        import pandas as pd
+
+        df = pd.DataFrame(
+            {"url_1": ["a"], "url_2": ["b"], "label": [1], **{c: [0.5] for c in FEATURE_NAMES}}
+        )
+        out = select_features(rd.from_pandas(df), "text_features")
+        assert set(out.schema().names) == {
+            "url_1", "url_2", "label",
+            "jaccard_tokens", "jaccard_shingles", "tfidf_cosine", "simhash_sim",
+        }
+
+
+class TestScaler:
+    def test_driver_roundtrip(self):
+        rng = np.random.default_rng(0)
+        X = rng.normal(size=(200, 3)) * [1, 10, 100] + [0, 5, -50]
+        Z = MinMaxStandardScaler().fit_transform(X)
+        assert np.allclose(Z.mean(axis=0), 0, atol=1e-9)
+        assert np.allclose(Z.std(axis=0), 1, atol=1e-9)
+
+    def test_constant_column_safe(self):
+        X = np.ones((10, 2))
+        Z = MinMaxStandardScaler().fit_transform(X)
+        assert np.isfinite(Z).all()
+
+    def test_distributed_matches_driver(self):
+        import ray.data as rd
+        import pandas as pd
+
+        rng = np.random.default_rng(1)
+        X = rng.normal(size=(500, 2)) * [3, 7] + [1, -2]
+        cols = ["a", "b"]
+        df = pd.DataFrame(X, columns=cols)
+        ds = rd.from_pandas(df)
+        sc_d = fit_scaler_distributed(ds, cols)
+        sc_l = MinMaxStandardScaler().fit(X)
+        assert np.allclose(sc_d.min_, sc_l.min_)
+        assert np.allclose(sc_d.mean_, sc_l.mean_, atol=1e-12)
+        assert np.allclose(sc_d.std_, sc_l.std_, atol=1e-9)
+        out = transform_features(ds, sc_d, cols).to_pandas()
+        assert np.allclose(
+            out[cols].to_numpy(), sc_l.transform(X), atol=1e-9
+        )
+
+
+class TestStageRegistry:
+    def test_fn_stage_and_runner(self, tmp_path):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from pubmed_and_method_ray.pipelines.registry import FnStage, run_pipeline
+
+        ds = rd.from_arrow(pa.Table.from_pydict({"x": [1, 2, 3]}))
+        double = FnStage(
+            "double",
+            lambda d: d.map_batches(
+                lambda t: pa.Table.from_pydict(
+                    {"x": pa.compute.multiply(t["x"], 2)}
+                ),
+                batch_format="pyarrow",
+            ),
+        )
+        out = run_pipeline(ds, [double], workdir=str(tmp_path))
+        assert sorted(out.to_pandas()["x"]) == [2, 4, 6]
+        # resume: rerun skips the completed stage (manifest untouched)
+        from pubmed_and_method_ray.sources import checkpoint as ckpt
+        import os
+
+        man1 = ckpt.read_manifest(os.path.join(tmp_path, "double"))
+        out2 = run_pipeline(ds, [double], workdir=str(tmp_path))
+        man2 = ckpt.read_manifest(os.path.join(tmp_path, "double"))
+        assert man1["written_at"] == man2["written_at"]
+        assert sorted(out2.to_pandas()["x"]) == [2, 4, 6]
+
+    def test_registry_lookup(self):
+        from pubmed_and_method_ray.pipelines.registry import (
+            STAGE_REGISTRY,
+            make_stage,
+        )
+
+        assert {"extract_text", "normalize", "pair_features"} <= set(STAGE_REGISTRY)
+        st = make_stage("extract_text")
+        assert st.name == "extract_text"
+        with pytest.raises(KeyError):
+            make_stage("nope")
