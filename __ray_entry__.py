@@ -113,6 +113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_rolling_fingerprint": text_analysis.doc_rolling_fingerprint,
         "clean_text_docs": text_analysis.clean_text_docs,
         "tag_entities": text_analysis.tag_entities,
+        "doc_keywords": text_analysis.doc_keywords,
         # -- multimodal plumbing ------------------------------------------
         "payload_meta": multimodal.payload_meta,
         "multimodal_decode": multimodal.decode_features,
@@ -131,6 +132,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_activity": relational.user_activity,
         "events_sessions": relational.events_sessions,
         "deterministic_sample": relational.deterministic_sample,
+        "rank_docs": relational.rank_docs,
     }
 
 
@@ -304,6 +306,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "deterministic_sample": (
             "SELECT doc_id FROM documents WHERE substring(md5(text), 1, 2) <= '4c'"
+        ),
+        "rank_docs": (
+            "SELECT doc_id, n_chars, "
+            "ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS rank "
+            "FROM documents"
         ),
         "clean_text_docs": (
             "SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text), "

@@ -50,6 +50,10 @@ class GBTClassifier:
         self.base_score = 0.0
         # trees serialized as flat arrays: feature, threshold, left, right, value
         self.trees: list[dict[str, np.ndarray]] = []
+        # total split gain per feature (xgboost-style 'gain' importance,
+        # the feature_importances_ the reference prints from its models at
+        # src/model/classification.py:33-39)
+        self.feature_importances_: np.ndarray | None = None
 
     # -- training ---------------------------------------------------------
     def fit(self, X: np.ndarray, y: np.ndarray) -> "GBTClassifier":
@@ -60,6 +64,7 @@ class GBTClassifier:
         self.base_score = float(np.log(pos / (1 - pos)))
         pred = np.full(len(y), self.base_score)
         self.trees = []
+        self.feature_importances_ = np.zeros(X.shape[1])
         for _ in range(self.n_estimators):
             p = 1.0 / (1.0 + np.exp(-pred))
             grad = p - y
@@ -88,6 +93,7 @@ class GBTClassifier:
             if best is None:
                 return node_id
             f, thr, gain = best
+            self.feature_importances_[f] += gain
             mask = X[idx, f] <= thr
             li, ri = idx[mask], idx[~mask]
             if len(li) == 0 or len(ri) == 0:

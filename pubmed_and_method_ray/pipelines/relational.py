@@ -447,6 +447,61 @@ def deterministic_sample(sf_dir: str, keep_hex: str = "4c"):
     )
 
 
+def rank_docs(sf_dir: str):
+    """Distributed dense row-number (O3 analog: the commonness-ordered id
+    assignment at database/model_building_using_rich_features.sql:501-509):
+    rank by (n_chars, doc_id) via a broadcast cumulative histogram of the
+    sort key + per-group local enumeration — no global sort collect."""
+    import ray
+
+    from collections import Counter
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        c = Counter(t["n_chars"].to_pylist())
+        return pa.Table.from_pydict(
+            {
+                "n_chars": pa.array(list(c.keys()), pa.int64()),
+                "cnt": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    counts: Counter = Counter()
+    for b in ds.map_batches(hist_partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow", batch_size=65536
+    ):
+        for v, c in zip(b["n_chars"].to_pylist(), b["cnt"].to_pylist()):
+            counts[v] += c
+    offsets = {}
+    acc = 0
+    for v in sorted(counts):
+        offsets[v] = acc
+        acc += counts[v]
+    ref = ray.put(offsets)
+
+    def rank_group(g: pa.Table) -> pa.Table:
+        from ..stages.mention_prep import get_broadcast
+
+        off = get_broadcast(ref)
+        ids = sorted(g["doc_id"].to_pylist())
+        v = g["n_chars"][0].as_py()
+        base = off[v]
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_chars": pa.array([v] * len(ids), pa.int64()),
+                "rank": pa.array(
+                    [base + i + 1 for i in range(len(ids))], pa.int64()
+                ),
+            }
+        )
+
+    return ds.groupby("n_chars", num_partitions=shuffle_partitions()).map_groups(
+        rank_group, batch_format="pyarrow"
+    )
+
+
 def union_distinct_keys(sf_dir: str):
     """Union + distinct (D1/D2): all nation/region names tagged by kind."""
     import ray.data as rd

@@ -186,6 +186,74 @@ def tag_entities(sf_dir: str):
     )
 
 
+def doc_keywords(sf_dir: str, top_k: int = 5):
+    """Per-doc top-k keywords by tf-idf (the MAUI keyword-extractor analog
+    T3, /root/reference/Dependency-Feature/.../MauiExtractedKeywords.java:7-36):
+    token-level document frequencies reduce via per-batch Counters, the
+    idf dict broadcasts once, and a stateful actor scores each doc.
+    Output: (doc_id, keywords csv) — deterministic tie-break by token."""
+    import math
+
+    import ray
+    import ray.data as rd
+
+    ds = _read_documents(sf_dir, ["doc_id", "text"])
+
+    # pass 1: document frequencies (mergeable per-batch partials)
+    def df_partial(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c = Counter()
+        n = 0
+        for x in t["text"].to_pylist():
+            n += 1
+            c.update(set((x or "").lower().split(" ")))
+        return pa.Table.from_pydict(
+            {
+                "token": pa.array(list(c.keys()), pa.string()),
+                "df": pa.array(list(c.values()), pa.int64()),
+                "n_docs": pa.array([n] * len(c), pa.int64()),
+            }
+        )
+
+    totals: dict[str, int] = {}
+    for b in ds.map_batches(df_partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow", batch_size=65536
+    ):
+        toks = b["token"].to_pylist()
+        dfs = b["df"].to_pylist()
+        for tkn, d in zip(toks, dfs):
+            totals[tkn] = totals.get(tkn, 0) + d
+    n_docs = _read_documents(sf_dir, ["doc_id"]).count()
+    idf = {
+        t: math.log((1 + n_docs) / (1 + d)) + 1.0 for t, d in totals.items()
+    }
+    idf_ref = ray.put(idf)
+
+    class Keywords:
+        def __init__(self):
+            from ..stages.mention_prep import get_broadcast
+
+            self.idf = get_broadcast(idf_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            from collections import Counter
+
+            out = []
+            for x in t["text"].to_pylist():
+                tf = Counter((x or "").lower().split(" "))
+                scored = sorted(
+                    ((c * self.idf.get(w, 0.0), w) for w, c in tf.items()),
+                    key=lambda p: (-p[0], p[1]),
+                )
+                out.append(",".join(w for _, w in scored[:top_k]))
+            return pa.Table.from_pydict(
+                {"doc_id": t["doc_id"], "keywords": pa.array(out, pa.string())}
+            )
+
+    return ds.map_batches(Keywords, batch_format="pyarrow", concurrency=(1, 4))
+
+
 def doc_rolling_fingerprint(sf_dir: str, window: int = 8):
     """Winnowing-style fingerprint: min rolling hash over token windows
     (Schleimer et al. 2003) — the near-dup fingerprint (rows-only check)."""
