@@ -123,30 +123,29 @@ def revenue_by_nation(sf_dir: str):
     order_cust = dict(zip(orders["o_orderkey"].to_numpy(), orders["o_custkey"].to_numpy()))
     ref = ray.put((order_cust, cust_nation))
 
-    class Partial:
-        def __init__(self):
-            self.order_cust, self.cust_nation = ray.get(ref)
+    def partial(t: pa.Table) -> pa.Table:
+        from ..stages.mention_prep import get_broadcast
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            ok = t["l_orderkey"].to_numpy(zero_copy_only=False)
-            rev = (
-                t["l_extendedprice"].to_numpy(zero_copy_only=False)
-                * (1.0 - t["l_discount"].to_numpy(zero_copy_only=False))
-            )
-            nations = [self.cust_nation[self.order_cust[k]] for k in ok]
-            import pandas as pd
+        order_cust_, cust_nation_ = get_broadcast(ref)
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        rev = (
+            t["l_extendedprice"].to_numpy(zero_copy_only=False)
+            * (1.0 - t["l_discount"].to_numpy(zero_copy_only=False))
+        )
+        nations = [cust_nation_[order_cust_[k]] for k in ok]
+        import pandas as pd
 
-            g = (
-                pd.DataFrame({"n_name": nations, "rev_c": _to_fixed(rev, 100.0)})
-                .groupby("n_name", as_index=False)["rev_c"]
-                .sum()
-            )
-            return pa.Table.from_pandas(g, preserve_index=False)
+        g = (
+            pd.DataFrame({"n_name": nations, "rev_c": _to_fixed(rev, 100.0)})
+            .groupby("n_name", as_index=False)["rev_c"]
+            .sum()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
 
     from ray.data.aggregate import Sum
 
     partials = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"]).map_batches(
-        Partial, batch_format="pyarrow", concurrency=(1, 4)
+        partial, batch_format="pyarrow"
     )
     agg = partials.groupby("n_name", num_partitions=shuffle_partitions()).aggregate(Sum("rev_c", alias_name="rev_c"))
     return agg.map_batches(
@@ -202,27 +201,33 @@ def events_hour_window(sf_dir: str):
     """Tumbling 1-hour window per user (streaming-shaped analog,
     SURVEY.md §2.13): bucket = floor-div of epoch microseconds."""
 
-    def bucket(t: pa.Table) -> pa.Table:
-        us = t["ts"].cast(pa.int64())
-        hb = pc.divide(us, 3_600_000_000)  # int64 floor division (ts > 0)
-        return pa.Table.from_pydict(
+    def bucket_partial(t: pa.Table) -> pa.Table:
+        """Per-batch partial (user, hour) aggregates before the shuffle."""
+        import pandas as pd
+
+        us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(
             {
-                "user_id": t["user_id"],
-                "hour_bucket": hb,
-                "value_c": pa.array(
-                    _to_fixed(t["value"].to_numpy(zero_copy_only=False), 1e6),
-                    pa.int64(),
-                ),
+                "user_id": t["user_id"].to_numpy(zero_copy_only=False),
+                "hour_bucket": us // 3_600_000_000,
+                "value_c": _to_fixed(t["value"].to_numpy(zero_copy_only=False), 1e6),
             }
         )
+        g = df.groupby(["user_id", "hour_bucket"], as_index=False).agg(
+            n_events=("value_c", "size"), value_c=("value_c", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
 
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
 
     agg = (
         _read(sf_dir, "events", ["ts", "user_id", "value"])
-        .map_batches(bucket, batch_format="pyarrow")
+        .map_batches(bucket_partial, batch_format="pyarrow")
         .groupby(["user_id", "hour_bucket"], num_partitions=shuffle_partitions())
-        .aggregate(Count(alias_name="n_events"), Sum("value_c", alias_name="value_c"))
+        .aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("value_c", alias_name="value_c"),
+        )
     )
     return agg.map_batches(
         lambda t: pa.Table.from_pydict(
@@ -264,26 +269,25 @@ def doc_commonness(sf_dir: str):
     }
     ref = ray.put((lookup, total))
 
-    class Attach:
-        def __init__(self):
-            self.lookup, self.total = ray.get(ref)
+    def attach(t: pa.Table) -> pa.Table:
+        from ..stages.mention_prep import get_broadcast
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            commonness = [
-                self.lookup[(l, s)]
-                for l, s in zip(t["lang"].to_pylist(), t["source"].to_pylist())
-            ]
-            amb = [round(c / self.total, 9) for c in commonness]
-            return pa.Table.from_pydict(
-                {
-                    "doc_id": t["doc_id"],
-                    "commonness": pa.array(commonness, pa.int64()),
-                    "ambiguity": pa.array(amb, pa.float64()),
-                }
-            )
+        lookup_, total_ = get_broadcast(ref)
+        commonness = [
+            lookup_[(l, s)]
+            for l, s in zip(t["lang"].to_pylist(), t["source"].to_pylist())
+        ]
+        amb = [round(c / total_, 9) for c in commonness]
+        return pa.Table.from_pydict(
+            {
+                "doc_id": t["doc_id"],
+                "commonness": pa.array(commonness, pa.int64()),
+                "ambiguity": pa.array(amb, pa.float64()),
+            }
+        )
 
     return _read(sf_dir, "documents", ["doc_id", "lang", "source"]).map_batches(
-        Attach, batch_format="pyarrow", concurrency=(1, 4)
+        attach, batch_format="pyarrow"
     )
 
 
