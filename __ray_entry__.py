@@ -104,6 +104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- similarity search --------------------------------------------
         "ann_topk": similarity.ann_topk,
         "ann_topk_lsh": similarity.ann_topk_lsh,
+        "ann_topk_ivf": similarity.ann_topk_ivf,
         "embedding_norms": similarity.embedding_norms,
         # -- text analysis ------------------------------------------------
         "token_count": text_analysis.token_count,
@@ -117,6 +118,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- multimodal plumbing ------------------------------------------
         "payload_meta": multimodal.payload_meta,
         "multimodal_decode": multimodal.decode_features,
+        "multimodal_resize": multimodal.resize_features,
+        "multimodal_frames": multimodal.frame_samples,
         # -- relational coverage (joins/aggs/sort/window/union) -----------
         "pricing_summary": relational.pricing_summary,
         "revenue_by_nation": relational.revenue_by_nation,

@@ -91,6 +91,73 @@ class DecodePayload:
         )
 
 
+class ResizePayload:
+    """Actor-pool resize stage (image-resize analog). ``real`` mode is the
+    stub boundary (needs PIL); ``fake`` emits deterministic target dims +
+    a content-keyed checksum so the plumbing (schema in/out, batch sizing)
+    is testable."""
+
+    def __init__(self, width: int = 224, height: int = 224, mode: str = "fake"):
+        if mode not in ("real", "fake"):
+            raise ValueError(mode)
+        self.w, self.h, self.mode = width, height, mode
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        if self.mode == "real":
+            raise NotImplementedError("real resize requires PIL — not in sandbox")
+        sums = []
+        for payload in t["payload"].to_pylist():
+            h = hashlib.blake2b(
+                (payload or b"") + bytes([self.w % 256, self.h % 256]), digest_size=8
+            )
+            sums.append(h.hexdigest())
+        n = t.num_rows
+        return pa.Table.from_pydict(
+            {
+                "doc_id": t["doc_id"],
+                "width": pa.array([self.w] * n, pa.int32()),
+                "height": pa.array([self.h] * n, pa.int32()),
+                "resized_checksum": pa.array(sums, pa.string()),
+            }
+        )
+
+
+class SampleFrames:
+    """Actor-pool frame-sampling stage (video analog): emits ``n_frames``
+    evenly spaced frame records per payload (flat_map shape — one input
+    row becomes several output rows), deterministic offsets from content
+    length."""
+
+    def __init__(self, n_frames: int = 4, mode: str = "fake"):
+        if mode not in ("real", "fake"):
+            raise ValueError(mode)
+        self.n_frames, self.mode = n_frames, mode
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        if self.mode == "real":
+            raise NotImplementedError("real frame sampling requires ffmpeg")
+        doc_ids, frame_idx, offsets, checks = [], [], [], []
+        for doc_id, payload in zip(t["doc_id"].to_pylist(), t["payload"].to_pylist()):
+            data = payload or b""
+            span = max(len(data), 1)
+            for i in range(self.n_frames):
+                off = (i * span) // self.n_frames
+                doc_ids.append(doc_id)
+                frame_idx.append(i)
+                offsets.append(off)
+                checks.append(
+                    hashlib.blake2b(data[off : off + 16], digest_size=4).hexdigest()
+                )
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "frame_idx": pa.array(frame_idx, pa.int32()),
+                "byte_offset": pa.array(offsets, pa.int64()),
+                "frame_checksum": pa.array(checks, pa.string()),
+            }
+        )
+
+
 def decode_features(sf_dir: str, mode: str = "fake"):
     """documents -> payload rows -> actor-pool decode -> typed features."""
     import ray.data as rd
@@ -117,4 +184,46 @@ def decode_features(sf_dir: str, mode: str = "fake"):
             batch_size=64,  # large-binary rows: keep batches small
             concurrency=(1, 4),
         )
+    )
+
+
+def _payload_ds(sf_dir: str):
+    import ray.data as rd
+
+    def to_payload(t: pa.Table) -> pa.Table:
+        raw = [(x or "").encode("utf-8") for x in t["text"].to_pylist()]
+        return pa.Table.from_arrays(
+            [
+                t["doc_id"],
+                pa.array(raw, pa.binary()),
+                pa.array(["text/plain"] * len(raw), pa.string()),
+                pa.array([len(b) for b in raw], pa.int64()),
+            ],
+            schema=PAYLOAD_SCHEMA,
+        )
+
+    return rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(to_payload, batch_format="pyarrow")
+
+
+def resize_features(sf_dir: str, mode: str = "fake"):
+    """documents -> payload rows -> actor-pool resize -> dims+checksum."""
+    return _payload_ds(sf_dir).map_batches(
+        ResizePayload,
+        fn_constructor_kwargs={"mode": mode},
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=(1, 4),
+    )
+
+
+def frame_samples(sf_dir: str, mode: str = "fake"):
+    """documents -> payload rows -> actor-pool frame sampler (1->N rows)."""
+    return _payload_ds(sf_dir).map_batches(
+        SampleFrames,
+        fn_constructor_kwargs={"mode": mode},
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=(1, 4),
     )
