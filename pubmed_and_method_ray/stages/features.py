@@ -36,12 +36,24 @@ FEATURE_NAMES = [
 ID_COLS = ["url_1", "url_2"]
 
 
+def _intersect_count_sorted(a: np.ndarray, b: np.ndarray) -> int:
+    """|a ∩ b| for SORTED unique arrays via searchsorted (no re-sort —
+    ~3x faster than intersect1d in the per-pair hot loop)."""
+    if len(a) == 0 or len(b) == 0:
+        return 0
+    if len(a) < len(b):
+        a, b = b, a
+    idx = np.searchsorted(a, b)
+    valid = idx < len(a)
+    return int((a[idx[valid]] == b[valid]).sum())
+
+
 def _jaccard_u64(a: np.ndarray, b: np.ndarray) -> float:
-    """Jaccard of two sorted-unique uint64 arrays (set semantics of
+    """Jaccard of two sorted-unique arrays (set semantics of
     string_utils.py:99-109, over hashes)."""
     if len(a) == 0 and len(b) == 0:
         return 0.0
-    inter = len(np.intersect1d(a, b, assume_unique=True))
+    inter = _intersect_count_sorted(a, b)
     union = len(a) + len(b) - inter
     return inter / union if union else 0.0
 
@@ -57,12 +69,21 @@ def _list_view(col) -> tuple[np.ndarray, np.ndarray]:
 
 
 def _sparse_cos(i1, w1, i2, w2) -> float:
+    """Dot of two sparse vectors with SORTED unique index arrays."""
     if len(i1) == 0 or len(i2) == 0:
         return 0.0
-    common, a, b = np.intersect1d(i1, i2, assume_unique=True, return_indices=True)
-    if len(common) == 0:
+    if len(i1) < len(i2):
+        i1, w1, i2, w2 = i2, w2, i1, w1
+    idx = np.searchsorted(i1, i2)
+    valid = idx < len(i1)
+    if not valid.all():
+        idx = idx[valid]
+        i2 = i2[valid]
+        w2 = w2[valid]
+    hit = i1[idx] == i2
+    if not hit.any():
         return 0.0
-    return float(np.dot(w1[a], w2[b]))
+    return float(np.dot(w1[idx[hit]].astype(np.float64), w2[hit].astype(np.float64)))
 
 
 def features_from_indices(
