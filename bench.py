@@ -73,7 +73,7 @@ def run_benchmarks() -> dict:
     model = load_pretrained_model_json()
     # min of two timed trials: single-trial noise on this box is ~15%
     trials = []
-    for _ in range(2 if os.environ.get("GRAFT_ER_ONLY") != "1" else 1):
+    for _ in range(int(os.environ.get("GRAFT_ER_TRIALS", "2"))):
         t0 = time.perf_counter()
         pages = rd.read_parquet(pages_dir, file_extensions=["parquet"])
         out = run_er_pipeline(
@@ -138,6 +138,8 @@ def run_scaling() -> dict:
             RAY_GRAFT_CPUS=str(ncpu),
             GRAFT_ER_ONLY="1",
             GRAFT_ER_REPEAT=os.environ.get("GRAFT_SCALING_REPEAT", "8"),
+            # min-of-2 per leg: single-trial jitter on this box is ~10-15%
+            GRAFT_ER_TRIALS="2",
         )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
