@@ -62,13 +62,20 @@ def _er_clusters(sf_dir: str):
 
 
 def _er_match_edges(sf_dir: str):
+    """Pairwise co-membership view of the predicted clustering (the
+    reference's cluster-pairwise metric semantics, src/metric/metric.py):
+    all canonical (url_1 < url_2) pairs within each predicted cluster.
+    Raw scorer edges are blocking-dependent (a same-entity pair can reach
+    the same cluster via transitivity without a direct candidate edge),
+    so the *resolved* pair set is the deterministic, oracle-checkable
+    output."""
     from pubmed_and_method_ray.pipelines.er import run_er_pipeline
     from pubmed_and_method_ray.sources.pages import build_pages_dataset
     from pubmed_and_method_ray.state import (
         load_pretrained_idf,
         load_pretrained_model_json,
     )
-    from pubmed_and_method_ray.stages.features import edges_from_scores
+    from pubmed_and_method_ray.stages.cluster import cluster_pairs
 
     pages = build_pages_dataset(sf_dir, expand_k=3)
     out = run_er_pipeline(
@@ -78,7 +85,7 @@ def _er_match_edges(sf_dir: str):
         n_max=512,
         evaluate=False,
     )
-    return edges_from_scores(out["scored"], 0.5)
+    return cluster_pairs(out["clusters"])
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -139,6 +146,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+def _er_pages_cte(expand_k: int = 3, n_hosts: int = 50) -> str:
+    """CTE reconstructing the synthetic page corpus *structure* (url,
+    entity grouping) in pure SQL: sources/pages.py derives (host_id, k)
+    per entity from md5_u64('e'||doc_id) == DuckDB md5_number_upper, and
+    the Zipf host-weight cumulative table is embedded as float64 literals
+    from the same generator function."""
+    from pubmed_and_method_ray.sources.pages import host_cum_weights
+
+    cum = "[" + ", ".join(repr(float(c)) for c in host_cum_weights(n_hosts)) + "]"
+    return (
+        "WITH h AS (SELECT doc_id, "
+        "md5_number_upper('e' || CAST(doc_id AS VARCHAR)) AS h64 FROM documents), "
+        f"p AS (SELECT doc_id, CAST(1 + (h64 % {expand_k}) AS INT) AS k, "
+        f"len(list_filter({cum}, c -> c < (h64 % 10000019) / 10000019.0)) AS host_id "
+        "FROM h), "
+        "pg AS (SELECT doc_id, host_id, "
+        "unnest(generate_series(0, k - 1)) AS j FROM p), "
+        "pgu AS (SELECT doc_id, j, 'https://www.site' || CAST(host_id AS VARCHAR) "
+        "|| '.example.org/e' || CAST(doc_id AS VARCHAR) || '/page' "
+        "|| CAST(j AS VARCHAR) AS url, "
+        "'https://www.site' || CAST(host_id AS VARCHAR) || '.example.org/e' "
+        "|| CAST(doc_id AS VARCHAR) || '/page0' AS page0 FROM pg)"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     jac = (
         "len(list_intersect(a.t, b.t)) / "
@@ -157,6 +189,21 @@ def oracle_sql() -> dict[str, str]:
         "(sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v)))"
     )
     return {
+        # flagship ER: the fixture plants perfectly separable clusters
+        # (pytest-enforced F1 == 1.0), so the predicted partition equals
+        # the gold partition and the oracle is the page-corpus structure
+        # re-derived in SQL (reference cross-check pattern:
+        # database/and_datasets.sql:87-105 — SQL pair-gen vs external
+        # script). cluster_id = lexicographic-min url of the entity.
+        "er_clusters": (
+            f"{_er_pages_cte()} "
+            "SELECT url, page0 AS cluster_id FROM pgu"
+        ),
+        "er_match_edges": (
+            f"{_er_pages_cte()} "
+            "SELECT a.url AS url_1, b.url AS url_2 "
+            "FROM pgu a JOIN pgu b ON a.doc_id = b.doc_id AND a.j < b.j"
+        ),
         "dedup_exact": (
             "SELECT md5(text) AS text_hash, min(doc_id) AS doc_id "
             "FROM documents GROUP BY md5(text)"

@@ -36,6 +36,24 @@ def stable_hash64(s: str, seed: int = 0) -> int:
     return int.from_bytes(h.digest(), "little")
 
 
+def md5_u64(s: str) -> int:
+    """First 8 md5 digest bytes as little-endian uint64 — the ONE hash
+    with an exact DuckDB equivalent (``md5_number_upper(s)``), used
+    wherever a derived value must be reproducible inside a SQL oracle
+    (page-corpus structure, simhash token hashes, rolling fingerprints)."""
+    return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "little")
+
+
+def md5_u64_array(strings) -> np.ndarray:
+    """Vectorized-ish md5_u64 over an iterable of strings -> uint64[n]."""
+    out = np.empty(len(strings), dtype=np.uint64)
+    for i, s in enumerate(strings):
+        out[i] = int.from_bytes(
+            hashlib.md5(s.encode("utf-8")).digest()[:8], "little"
+        )
+    return out
+
+
 def splitmix64(x: np.ndarray | int):
     """Vectorized splitmix64 finalizer — cheap avalanche for integer keys.
     uint64 multiplication wraps mod 2^64 by design (suppress the numpy

@@ -27,7 +27,17 @@ import html as _html
 import numpy as np
 import pyarrow as pa
 
-from ..functions.hashing import stable_hash64
+from ..functions.hashing import md5_u64, stable_hash64
+
+
+def host_cum_weights(n_hosts: int) -> np.ndarray:
+    """Normalized cumulative Zipf-ish host weights (1/sqrt(rank)).
+    Exposed so the DuckDB oracle for the ER queries can embed the same
+    float64 literals (__ray_entry__.oracle_sql)."""
+    ranks = np.arange(n_hosts, dtype=np.float64) + 1.0
+    cum = np.cumsum(1.0 / np.sqrt(ranks))
+    cum /= cum[-1]
+    return cum
 
 # ---------------------------------------------------------------------------
 # HTML templating (inverse of functions.extract.extract_text by construction)
@@ -138,19 +148,19 @@ def pages_from_documents_batch(
     # Zipf-ish host weights ~ 1/sqrt(h+1): the head host holds ~8% of
     # entities — a genuine mega-block (salting exercised) without making
     # the whole corpus one block
-    ranks = np.arange(n_hosts, dtype=np.float64) + 1.0
-    cum = np.cumsum(1.0 / np.sqrt(ranks))
-    cum /= cum[-1]
+    cum = host_cum_weights(n_hosts)
 
     urls, tss, htmls, otexts, olangs, ents = [], [], [], [], [], []
     for doc_id, text, lang in zip(doc_ids, texts, langs):
         ent = f"e{doc_id}"
-        h64 = stable_hash64(ent, seed=seed)
+        # md5-keyed so the DuckDB oracle for er_clusters/er_match_edges
+        # can re-derive (host_id, k) per entity from the documents table
+        h64 = md5_u64(ent)
         host_draw = (h64 % 10_000_019) / 10_000_019.0
         host_id = int(np.searchsorted(cum, host_draw))
         host = f"site{host_id}.example.org"
         rng = np.random.default_rng(h64 & 0xFFFFFFFF)
-        k = 1 + int(rng.integers(0, expand_k))  # k ∈ [1, expand_k]
+        k = 1 + int(h64 % expand_k)  # k ∈ [1, expand_k], SQL: 1 + h64 % e
         # entity-salted vocabulary: the shared documents vocab is tiny, so
         # cross-entity text would otherwise be near-dup by accident; real
         # pages differ in content. ~1 salt token per shared token keeps

@@ -200,3 +200,26 @@ def _as_ref(obj):
     import ray
 
     return ray.put(obj)
+
+
+def cluster_pairs(clusters_ds):
+    """(url, cluster_id) -> all canonical within-cluster pairs
+    (url_1 < url_2): the pairwise co-membership view used by the
+    reference's cluster metrics (src/metric/metric.py semantics).
+    Dup clusters are small by nature, so the per-cluster C(n,2) is
+    bounded; one groupby shuffle on cluster_id."""
+
+    def pairs(g: pa.Table) -> pa.Table:
+        urls = sorted(g["url"].to_pylist())
+        u1 = [a for i, a in enumerate(urls) for _ in urls[i + 1 :]]
+        u2 = [b for i, _ in enumerate(urls) for b in urls[i + 1 :]]
+        return pa.Table.from_pydict(
+            {
+                "url_1": pa.array(u1, pa.string()),
+                "url_2": pa.array(u2, pa.string()),
+            }
+        )
+
+    return clusters_ds.groupby(
+        "cluster_id", num_partitions=shuffle_partitions()
+    ).map_groups(pairs, batch_format="pyarrow")
