@@ -233,6 +233,25 @@ def oracle_sql() -> dict[str, str]:
             "FROM e a JOIN e b ON a.vec_id < b.vec_id) "
             "WHERE raw >= 0.3"
         ),
+        # 64-bit SimHash recomputed in SQL: per-token md5_number_upper
+        # (== functions.hashing.md5_u64), ±1 votes per bit over the token
+        # multiset, bit set iff vote sum > 0.
+        "dedup_simhash": (
+            "WITH tok AS (SELECT doc_id, "
+            "unnest(str_split(lower(text), ' ')) AS tok FROM documents), "
+            "th AS (SELECT doc_id, md5_number_upper(tok) AS hv FROM tok), "
+            "bits AS (SELECT doc_id, b, "
+            "CASE WHEN SUM(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) > 0 "
+            "THEN 1 ELSE 0 END AS bit "
+            "FROM th CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b) g "
+            "GROUP BY doc_id, b), "
+            "sh AS (SELECT doc_id, lower(lpad(to_hex(CAST("
+            "SUM(CASE WHEN bit = 1 THEN (1::HUGEINT << b) ELSE 0 END) "
+            "AS UBIGINT)), 16, '0')) AS simhash FROM bits GROUP BY doc_id) "
+            "SELECT simhash, COUNT(*) AS n_docs, "
+            "string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS doc_ids "
+            "FROM sh GROUP BY simhash"
+        ),
         "ann_topk": (
             f"{emb_cte} "
             "SELECT b.vec_id AS vec_id, "
@@ -259,9 +278,88 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": (
             "SELECT doc_id, md5(lower(text)) AS fp FROM documents"
         ),
+        # lang-ID heuristic: marker-token hit counts per language over the
+        # token multiset; argmax with tie-break by language code; 'und'
+        # when no marker hits. Mirrors pipelines.text_analysis.LANG_MARKERS.
+        "lang_id": (
+            "WITH t AS (SELECT doc_id, str_split(lower(text), ' ') AS toks "
+            "FROM documents), "
+            "s AS (SELECT doc_id, len(toks) AS n, "
+            "len(list_filter(toks, x -> x IN ('der','die','das','und','ist','mit'))) AS h_de, "
+            "len(list_filter(toks, x -> x IN ('the','and','of','is','with','for'))) AS h_en, "
+            "len(list_filter(toks, x -> x IN ('el','la','de','que','y','los'))) AS h_es, "
+            "len(list_filter(toks, x -> x IN ('le','la','les','et','est','des'))) AS h_fr, "
+            "len(list_filter(toks, x -> x IN ('的','是','了','在','和','有'))) AS h_zh "
+            "FROM t), "
+            "m AS (SELECT doc_id, n, h_de, h_en, h_es, h_fr, h_zh, "
+            "greatest(h_de, h_en, h_es, h_fr, h_zh) AS mx FROM s) "
+            "SELECT doc_id, "
+            "CASE WHEN mx = 0 THEN 'und' WHEN h_de = mx THEN 'de' "
+            "WHEN h_en = mx THEN 'en' WHEN h_es = mx THEN 'es' "
+            "WHEN h_fr = mx THEN 'fr' ELSE 'zh' END AS pred_lang, "
+            "mx / n AS confidence FROM m"
+        ),
+        # winnowing-style rolling fingerprint: min md5_number_upper over
+        # 8-token windows of the lowered text (single window if < 8 toks).
+        "doc_rolling_fingerprint": (
+            "WITH t AS (SELECT doc_id, str_split(lower(text), ' ') AS toks "
+            "FROM documents), "
+            "g AS (SELECT doc_id, CASE WHEN len(toks) < 8 "
+            "THEN [array_to_string(toks, ' ')] "
+            "ELSE list_transform(generate_series(1, len(toks) - 7), "
+            "i -> array_to_string(toks[i:i+7], ' ')) END AS grams FROM t) "
+            "SELECT doc_id, lower(lpad(to_hex(list_min("
+            "list_transform(grams, x -> md5_number_upper(x)))), 16, '0')) "
+            "AS rolling_fp FROM g"
+        ),
+        "doc_keywords": (
+            "WITH tok AS (SELECT doc_id, "
+            "unnest(str_split(lower(text), ' ')) AS token FROM documents), "
+            "tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok "
+            "GROUP BY doc_id, token), "
+            "df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token), "
+            "n AS (SELECT COUNT(*) AS n_docs FROM documents), "
+            "sc AS (SELECT tf.doc_id AS doc_id, tf.token AS token, "
+            "tf.tf * (ln((1 + n_docs) / (1 + df.df)) + 1.0) AS score "
+            "FROM tf JOIN df ON tf.token = df.token CROSS JOIN n), "
+            "rk AS (SELECT doc_id, token, ROW_NUMBER() OVER ("
+            "PARTITION BY doc_id ORDER BY score DESC, token ASC) AS r FROM sc) "
+            "SELECT doc_id, string_agg(token, ',' ORDER BY r) AS keywords "
+            "FROM rk WHERE r <= 5 GROUP BY doc_id"
+        ),
         "payload_meta": (
             "SELECT doc_id, octet_length(encode(text)) AS payload_bytes, "
             "md5(text) AS payload_md5 FROM documents"
+        ),
+        # multimodal fake-decode: md5(payload) bytes drive (width, height,
+        # f0..f7) — byte i of the digest = hex pair 2i+1..2i+2.
+        "multimodal_decode": (
+            "WITH d AS (SELECT doc_id, md5(text) AS h FROM documents), "
+            "b AS (SELECT doc_id, "
+            + ", ".join(
+                f"CAST(concat('0x', substr(h, {2 * j + 1}, 2)) AS INTEGER) AS b{j}"
+                for j in range(8)
+            )
+            + " FROM d) "
+            "SELECT doc_id, 64 + b0 % 192 AS width, 64 + b1 % 192 AS height, "
+            + ", ".join(f"b{j} / 255.0 AS f{j}" for j in range(8))
+            + " FROM b"
+        ),
+        "multimodal_resize": (
+            "SELECT doc_id, 224 AS width, 224 AS height, "
+            "substr(md5(text || ':224x224'), 1, 16) AS resized_checksum "
+            "FROM documents"
+        ),
+        # fake frame sampler: 4 evenly spaced 16-char windows of the
+        # payload text; checksum = first 8 hex chars of window md5.
+        "multimodal_frames": (
+            "WITH f AS (SELECT doc_id, text, "
+            "greatest(length(text), 1) AS span, "
+            "unnest(generate_series(0, 3)) AS frame_idx FROM documents) "
+            "SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx, "
+            "(frame_idx * span) // 4 AS byte_offset, "
+            "substr(md5(substring(text, (frame_idx * span) // 4 + 1, 16)), 1, 8) "
+            "AS frame_checksum FROM f"
         ),
         # money/value sums are fixed-point (floor(x*scale+0.5) int64 sums):
         # exact and order-independent, so they hash-match the Ray side

@@ -222,10 +222,15 @@ def dedup_minhash_lsh(sf_dir: str, threshold: float = 0.8, num_perm: int = 64, n
 
 def dedup_simhash(sf_dir: str):
     """Exact-simhash duplicate groups: docs whose token simhash collides.
-    Output: (simhash_hex, n_docs, doc_ids sorted)."""
+    Output: (simhash_hex, n_docs, doc_ids csv sorted). Token hashes are
+    md5_u64 (== DuckDB md5_number_upper) so the SQL oracle recomputes the
+    same 64-bit sketch bit-for-bit."""
+    from ..functions.hashing import md5_u64_array
+    from ..functions.simhash import simhash_from_hashes
+
     def add_simhash(t: pa.Table) -> pa.Table:
         hs = [
-            f"{simhash64((x or '').lower().split(' ')):016x}"
+            f"{simhash_from_hashes(md5_u64_array((x or '').lower().split(' '))):016x}"
             for x in t["text"].to_pylist()
         ]
         return pa.Table.from_pydict(
@@ -238,7 +243,7 @@ def dedup_simhash(sf_dir: str):
             {
                 "simhash": pa.array([g["simhash"][0].as_py()], pa.string()),
                 "n_docs": pa.array([len(ids)], pa.int64()),
-                "doc_ids": pa.array([ids], pa.list_(pa.int64())),
+                "doc_ids": pa.array([",".join(map(str, ids))], pa.string()),
             }
         )
 

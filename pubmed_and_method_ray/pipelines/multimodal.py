@@ -51,8 +51,9 @@ def payload_meta(sf_dir: str):
 
 def _fake_decode(payload: bytes) -> tuple[int, int, np.ndarray]:
     """Deterministic fake decoder: (width, height, 8-dim feature) keyed by
-    content hash — stands in for PIL.Image.open + a feature extractor."""
-    h = hashlib.blake2b(payload, digest_size=16).digest()
+    content hash — stands in for PIL.Image.open + a feature extractor.
+    md5-keyed so the DuckDB oracle (byte-slices of md5(text)) matches."""
+    h = hashlib.md5(payload).digest()
     width = 64 + h[0] % 192
     height = 64 + h[1] % 192
     feat = np.frombuffer(h, dtype=np.uint8).astype(np.float64) / 255.0
@@ -80,15 +81,18 @@ class DecodePayload:
             w, h, f = _fake_decode(payload or b"")
             widths.append(w)
             heights.append(h)
-            feats.append(f.tolist())
-        return pa.Table.from_pydict(
-            {
-                "doc_id": t["doc_id"],
-                "width": pa.array(widths, pa.int32()),
-                "height": pa.array(heights, pa.int32()),
-                "feature": pa.array(feats, pa.list_(pa.float64(), 8)),
-            }
-        )
+            feats.append(f)
+        cols = {
+            "doc_id": t["doc_id"],
+            "width": pa.array(widths, pa.int32()),
+            "height": pa.array(heights, pa.int32()),
+        }
+        # 8 scalar feature columns (f0..f7): oracle- and schema-friendly
+        # (flat double columns instead of a fixed-size list)
+        F = np.stack(feats) if feats else np.zeros((0, 8))
+        for j in range(8):
+            cols[f"f{j}"] = pa.array(F[:, j], pa.float64())
+        return pa.Table.from_pydict(cols)
 
 
 class ResizePayload:
@@ -107,10 +111,11 @@ class ResizePayload:
             raise NotImplementedError("real resize requires PIL — not in sandbox")
         sums = []
         for payload in t["payload"].to_pylist():
-            h = hashlib.blake2b(
-                (payload or b"") + bytes([self.w % 256, self.h % 256]), digest_size=8
+            # md5 over payload || ':WxH' — DuckDB: md5(text || ':224x224')
+            h = hashlib.md5(
+                (payload or b"") + f":{self.w}x{self.h}".encode("utf-8")
             )
-            sums.append(h.hexdigest())
+            sums.append(h.hexdigest()[:16])
         n = t.num_rows
         return pa.Table.from_pydict(
             {
@@ -138,7 +143,9 @@ class SampleFrames:
             raise NotImplementedError("real frame sampling requires ffmpeg")
         doc_ids, frame_idx, offsets, checks = [], [], [], []
         for doc_id, payload in zip(t["doc_id"].to_pylist(), t["payload"].to_pylist()):
-            data = payload or b""
+            # char-based frame windows over the decoded payload so the
+            # DuckDB oracle (substring + md5 on VARCHAR) matches exactly
+            data = (payload or b"").decode("utf-8", errors="replace")
             span = max(len(data), 1)
             for i in range(self.n_frames):
                 off = (i * span) // self.n_frames
@@ -146,7 +153,9 @@ class SampleFrames:
                 frame_idx.append(i)
                 offsets.append(off)
                 checks.append(
-                    hashlib.blake2b(data[off : off + 16], digest_size=4).hexdigest()
+                    hashlib.md5(
+                        data[off : off + 16].encode("utf-8")
+                    ).hexdigest()[:8]
                 )
         return pa.Table.from_pydict(
             {

@@ -14,6 +14,8 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 
+from ..rayutil import shuffle_partitions
+
 # fixed stopword list mirrored verbatim in the SQL oracle
 QUALITY_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
 
@@ -188,76 +190,92 @@ def tag_entities(sf_dir: str):
 
 def doc_keywords(sf_dir: str, top_k: int = 5):
     """Per-doc top-k keywords by tf-idf (the MAUI keyword-extractor analog
-    T3, /root/reference/Dependency-Feature/.../MauiExtractedKeywords.java:7-36):
-    token-level document frequencies reduce via per-batch Counters, the
-    idf dict broadcasts once, and a stateful actor scores each doc.
-    Output: (doc_id, keywords csv) — deterministic tie-break by token."""
+    T3, /root/reference/Dependency-Feature/.../MauiExtractedKeywords.java:7-36),
+    fully distributed — no driver-side vocabulary:
+
+        explode (doc_id, token, tf)  [per-batch Counter, one pass]
+        -> groupby(token).count() = document frequencies  [shuffle 1]
+        -> Dataset.join tf-rows x df-table on token        [shuffle 2]
+        -> hash-repartition by doc_id, vectorized per-partition
+           top-k (pandas sort + groupby.head)              [shuffle 3]
+
+    idf = ln((1+N)/(1+df)) + 1, score = tf*idf, tie-break by token —
+    bit-identical to the DuckDB window-SQL oracle.
+    Output: (doc_id, keywords csv)."""
     import math
 
-    import ray
-    import ray.data as rd
+    from ray.data.aggregate import Count
 
     ds = _read_documents(sf_dir, ["doc_id", "text"])
+    n_docs = ds.count()
 
-    # pass 1: document frequencies (mergeable per-batch partials)
-    def df_partial(t: pa.Table) -> pa.Table:
+    def explode(t: pa.Table) -> pa.Table:
         from collections import Counter
 
-        c = Counter()
-        n = 0
-        for x in t["text"].to_pylist():
-            n += 1
-            c.update(set((x or "").lower().split(" ")))
+        ids, toks, tfs = [], [], []
+        for doc_id, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            for w, c in Counter((x or "").lower().split(" ")).items():
+                ids.append(doc_id)
+                toks.append(w)
+                tfs.append(c)
         return pa.Table.from_pydict(
             {
-                "token": pa.array(list(c.keys()), pa.string()),
-                "df": pa.array(list(c.values()), pa.int64()),
-                "n_docs": pa.array([n] * len(c), pa.int64()),
+                "doc_id": pa.array(ids, pa.int64()),
+                "token": pa.array(toks, pa.string()),
+                "tf": pa.array(tfs, pa.int64()),
             }
         )
 
-    totals: dict[str, int] = {}
-    for b in ds.map_batches(df_partial, batch_format="pyarrow").iter_batches(
-        batch_format="pyarrow", batch_size=65536
-    ):
-        toks = b["token"].to_pylist()
-        dfs = b["df"].to_pylist()
-        for tkn, d in zip(toks, dfs):
-            totals[tkn] = totals.get(tkn, 0) + d
-    n_docs = _read_documents(sf_dir, ["doc_id"]).count()
-    idf = {
-        t: math.log((1 + n_docs) / (1 + d)) + 1.0 for t, d in totals.items()
-    }
-    idf_ref = ray.put(idf)
+    tf_ds = ds.map_batches(explode, batch_format="pyarrow")
+    df_ds = (
+        tf_ds.groupby("token", num_partitions=shuffle_partitions())
+        .aggregate(Count(alias_name="df"))
+    )
+    joined = tf_ds.join(
+        df_ds,
+        join_type="inner",
+        on=("token",),
+        num_partitions=shuffle_partitions(),
+    )
 
-    class Keywords:
-        def __init__(self):
-            from ..stages.mention_prep import get_broadcast
+    def topk(t: pa.Table) -> pa.Table:
+        import pandas as pd
 
-            self.idf = get_broadcast(idf_ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            from collections import Counter
-
-            out = []
-            for x in t["text"].to_pylist():
-                tf = Counter((x or "").lower().split(" "))
-                scored = sorted(
-                    ((c * self.idf.get(w, 0.0), w) for w, c in tf.items()),
-                    key=lambda p: (-p[0], p[1]),
-                )
-                out.append(",".join(w for _, w in scored[:top_k]))
+        if t.num_rows == 0:
             return pa.Table.from_pydict(
-                {"doc_id": t["doc_id"], "keywords": pa.array(out, pa.string())}
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "keywords": pa.array([], pa.string()),
+                }
             )
+        df = t.select(["doc_id", "token", "tf", "df"]).to_pandas()
+        df["score"] = df["tf"].to_numpy(np.float64) * (
+            np.log((1 + n_docs) / (1 + df["df"].to_numpy(np.float64))) + 1.0
+        )
+        df = df.sort_values(
+            ["doc_id", "score", "token"], ascending=[True, False, True],
+            kind="mergesort",
+        )
+        top = df.groupby("doc_id", sort=False).head(top_k)
+        agg = top.groupby("doc_id", sort=False)["token"].agg(",".join)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(agg.index.to_numpy(np.int64), pa.int64()),
+                "keywords": pa.array(agg.to_numpy(dtype=object), pa.string()),
+            }
+        )
 
-    return ds.map_batches(Keywords, batch_format="pyarrow", concurrency=(1, 4))
+    return joined.repartition(
+        num_blocks=shuffle_partitions(), keys=["doc_id"]
+    ).map_batches(topk, batch_format="pyarrow", batch_size=None)
 
 
 def doc_rolling_fingerprint(sf_dir: str, window: int = 8):
     """Winnowing-style fingerprint: min rolling hash over token windows
-    (Schleimer et al. 2003) — the near-dup fingerprint (rows-only check)."""
-    from ..functions.hashing import hash64_array
+    (Schleimer et al. 2003) — the near-dup fingerprint. Gram hash is
+    md5_u64 so the DuckDB oracle (md5_number_upper over the same grams)
+    reproduces it exactly."""
+    from ..functions.hashing import md5_u64_array
 
     def f(t: pa.Table) -> pa.Table:
         out = []
@@ -271,7 +289,7 @@ def doc_rolling_fingerprint(sf_dir: str, window: int = 8):
                     for i in range(len(toks) - window + 1)
                 ]
             if grams:
-                out.append(f"{int(hash64_array(grams, seed=0x33).min()):016x}")
+                out.append(f"{int(md5_u64_array(grams).min()):016x}")
             else:
                 out.append("0" * 16)
         return pa.Table.from_pydict(
