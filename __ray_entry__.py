@@ -171,6 +171,114 @@ def _er_pages_cte(expand_k: int = 3, n_hosts: int = 50) -> str:
     )
 
 
+def _sm64_sql(prefix: str, x: str) -> str:
+    """Chained-CTE splitmix64 over a UBIGINT column expression ``x``:
+    returns SQL fragment 'cte1, cte2, ...' ending in a CTE named
+    ``{prefix}_out`` with column ``hv``. The two 64x64->64 multiplies are
+    decomposed into 32-bit partial products so HUGEINT never overflows;
+    constants are functions.hashing's public-domain splitmix64 ones."""
+    G = 0x9E3779B97F4A7C15
+    M1 = 0xBF58476D1CE4E5B9
+    M2 = 0x94D049BB133111EB
+    T = 1 << 64
+    B32 = 1 << 32
+
+    def mulmod(col: str, m: int) -> str:
+        return (
+            f"CAST((({col} % {B32})::HUGEINT * {m} + "
+            f"((({col} >> 32)::HUGEINT * {m}) % {B32}) * {B32}) % {T} AS UBIGINT)"
+        )
+
+    p = prefix
+    return (
+        f"{p}_1 AS (SELECT *, CAST(({x}::HUGEINT + {G}) % {T} AS UBIGINT) AS sm_a "
+        f"FROM {p}_in), "
+        f"{p}_2 AS (SELECT *, xor(sm_a, sm_a >> 30) AS sm_b FROM {p}_1), "
+        f"{p}_3 AS (SELECT *, {mulmod('sm_b', M1)} AS sm_c FROM {p}_2), "
+        f"{p}_4 AS (SELECT *, xor(sm_c, sm_c >> 27) AS sm_d FROM {p}_3), "
+        f"{p}_5 AS (SELECT *, {mulmod('sm_d', M2)} AS sm_e FROM {p}_4), "
+        f"{p}_out AS (SELECT *, xor(sm_e, sm_e >> 31) AS hv FROM {p}_5)"
+    )
+
+
+def _minhash_lsh_oracle(
+    num_perm: int = 64, n_bands: int = 16, threshold: float = 0.8
+) -> str:
+    """MinHash-LSH oracle: md5_number_upper gram hashes re-keyed by the
+    64 splitmix64 seed literals (same values as
+    functions.simhash.minhash_from_hashes), min per permutation, literal
+    signature-value band keys, band-join candidates, exact gram-set
+    jaccard verify at the threshold."""
+    import numpy as np
+
+    from pubmed_and_method_ray.functions.hashing import splitmix64
+
+    seeds = splitmix64(np.arange(1, num_perm + 1, dtype=np.uint64) * np.uint64(8))
+    seed_rows = ", ".join(
+        f"({i}, {int(s)}::UBIGINT)" for i, s in enumerate(seeds)
+    )
+    rows = num_perm // n_bands
+    return (
+        "WITH t AS (SELECT doc_id, str_split(lower(text), ' ') AS toks "
+        "FROM documents), "
+        "gd AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) < 3 "
+        "THEN [array_to_string(toks, ' ')] "
+        "ELSE list_transform(generate_series(1, len(toks) - 2), "
+        "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS grams "
+        "FROM t), "
+        "bh AS (SELECT doc_id, md5_number_upper(unnest(grams)) AS gh FROM gd), "
+        f"seeds AS (SELECT * FROM (VALUES {seed_rows}) AS s(perm, seed)), "
+        "sm_in AS (SELECT doc_id, perm, xor(gh, seed) AS x0 "
+        "FROM bh CROSS JOIN seeds), "
+        + _sm64_sql("sm", "x0")
+        + ", sig AS (SELECT doc_id, perm, MIN(hv) AS s FROM sm_out "
+        "GROUP BY doc_id, perm), "
+        f"band AS (SELECT doc_id, 'b' || CAST(perm // {rows} AS VARCHAR) || ':' || "
+        "string_agg(CAST(s AS VARCHAR), ',' ORDER BY perm) AS band_key "
+        f"FROM sig GROUP BY doc_id, perm // {rows}), "
+        "cand AS (SELECT DISTINCT a.doc_id AS doc_id1, b.doc_id AS doc_id2 "
+        "FROM band a JOIN band b ON a.band_key = b.band_key "
+        "AND a.doc_id < b.doc_id) "
+        "SELECT doc_id1, doc_id2, jaccard FROM ("
+        "SELECT c.doc_id1, c.doc_id2, "
+        "len(list_intersect(x.grams, y.grams)) / "
+        "len(list_distinct(list_concat(x.grams, y.grams))) AS jaccard "
+        "FROM cand c JOIN gd x ON c.doc_id1 = x.doc_id "
+        "JOIN gd y ON c.doc_id2 = y.doc_id) "
+        f"WHERE jaccard >= {threshold}"
+    )
+
+
+def _ann_lsh_oracle(n_planes: int = 8, dim: int = 64, k: int = 10) -> str:
+    """LSH ANN oracle: the fixed seeded hyperplanes are embedded as
+    float64 literals from the same generator (similarity.lsh_planes);
+    bucket signature = sign bits of raw-vector dots, candidates within
+    Hamming distance 1 of the query bucket, exact cosine top-k."""
+    from pubmed_and_method_ray.pipelines.similarity import lsh_planes
+
+    planes = lsh_planes(n_planes, dim)
+    sig_terms = " + ".join(
+        f"(CASE WHEN list_inner_product(v, ["
+        + ", ".join(repr(float(x)) for x in planes[p])
+        + f"]) > 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(n_planes)
+    )
+    cos = (
+        "list_inner_product(a.v, b.v) / "
+        "(sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v)))"
+    )
+    return (
+        "WITH e AS (SELECT vec_id, "
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), "
+        f"sg AS (SELECT vec_id, v, {sig_terms} AS sig FROM e) "
+        "SELECT b.vec_id AS vec_id, "
+        f"ROUND({cos}, 9) AS cos_sim "
+        "FROM sg a JOIN sg b ON a.vec_id = 0 AND b.vec_id <> 0 "
+        "AND bit_count(xor(a.sig::BIGINT, b.sig::BIGINT)) <= 1 "
+        f"ORDER BY cos_sim DESC LIMIT {k}"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     jac = (
         "len(list_intersect(a.t, b.t)) / "
@@ -233,6 +341,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM e a JOIN e b ON a.vec_id < b.vec_id) "
             "WHERE raw >= 0.3"
         ),
+        "dedup_minhash_lsh": _minhash_lsh_oracle(),
         # 64-bit SimHash recomputed in SQL: per-token md5_number_upper
         # (== functions.hashing.md5_u64), ±1 votes per bit over the token
         # multiset, bit set iff vote sum > 0.
@@ -257,6 +366,35 @@ def oracle_sql() -> dict[str, str]:
             "SELECT b.vec_id AS vec_id, "
             f"ROUND({cos}, 9) AS cos_sim "
             "FROM e a JOIN e b ON a.vec_id = 0 AND b.vec_id <> 0 "
+            "ORDER BY cos_sim DESC LIMIT 10"
+        ),
+        "ann_topk_lsh": _ann_lsh_oracle(),
+        "ann_topk_ivf": (
+            f"{emb_cte}, "
+            "fx AS (SELECT vec_id, "
+            "CAST(md5_number_upper(CAST(vec_id AS VARCHAR)) % 16 AS BIGINT) AS bkt, "
+            "list_transform(v, x -> CAST(FLOOR(x * 1000000 + 0.5) AS BIGINT)) AS fv, "
+            "v FROM e), "
+            "dims AS (SELECT unnest(generate_series(1, 64)) AS d), "
+            "cent AS (SELECT bkt, d, SUM(fv[d]) / (1000000.0 * COUNT(*)) AS c "
+            "FROM fx CROSS JOIN dims GROUP BY bkt, d), "
+            "centl AS (SELECT bkt, list(c ORDER BY d) AS cv FROM cent GROUP BY bkt), "
+            "vn AS (SELECT vec_id, "
+            "list_transform(v, x -> x / sqrt(list_inner_product(v, v))) AS nv "
+            "FROM fx), "
+            "ad AS (SELECT vn.vec_id AS vec_id, vn.nv AS nv, centl.bkt AS bkt, "
+            "ROUND(list_inner_product(vn.nv, centl.cv), 9) AS dt "
+            "FROM vn CROSS JOIN centl), "
+            "asg AS (SELECT vec_id, nv, bkt FROM (SELECT *, ROW_NUMBER() OVER ("
+            "PARTITION BY vec_id ORDER BY dt DESC, bkt ASC) AS r FROM ad) WHERE r = 1), "
+            "qn AS (SELECT nv FROM vn WHERE vec_id = 0), "
+            "probe AS (SELECT centl.bkt FROM centl, qn "
+            "ORDER BY ROUND(list_inner_product(qn.nv, centl.cv), 9) DESC, "
+            "centl.bkt ASC LIMIT 4) "
+            "SELECT a.vec_id AS vec_id, "
+            "ROUND(list_inner_product(a.nv, qn.nv), 9) AS cos_sim "
+            "FROM asg a, qn WHERE a.vec_id <> 0 "
+            "AND a.bkt IN (SELECT bkt FROM probe) "
             "ORDER BY cos_sim DESC LIMIT 10"
         ),
         "embedding_norms": (

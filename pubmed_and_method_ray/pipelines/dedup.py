@@ -20,7 +20,7 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 
-from ..functions.simhash import minhash_band_keys, minhash_signature, simhash64
+from ..functions.simhash import minhash_signature, simhash64
 from ..rayutil import shuffle_partitions
 
 
@@ -120,22 +120,27 @@ class _MinhashEmitter:
         self.shingle_k = shingle_k
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        from ..functions.hashing import hash64_array
+        from ..functions.hashing import md5_u64_array
         from ..functions.simhash import minhash_from_hashes
         from ..functions.textkernels import token_shingles
 
+        rows = self.num_perm // self.n_bands
         keys, ids, shs = [], [], []
         for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
             tokens = (text or "").lower().split(" ")
             grams = token_shingles(tokens, self.shingle_k)
+            # md5-based gram hashes (== DuckDB md5_number_upper) + literal
+            # signature-value band keys: the whole LSH construction is
+            # reproducible by the splitmix64-in-SQL oracle
             sh = (
-                np.unique(hash64_array(grams, seed=0x99))
+                np.unique(md5_u64_array(grams))
                 if grams
                 else np.empty(0, np.uint64)
             )
             sig = minhash_from_hashes(sh, self.num_perm)
-            for k in minhash_band_keys(sig, self.n_bands):
-                keys.append(k)
+            for b in range(self.n_bands):
+                band = sig[b * rows : (b + 1) * rows]
+                keys.append(f"b{b}:" + ",".join(str(int(v)) for v in band))
                 ids.append(doc_id)
                 shs.append(sh.tolist())
         return pa.Table.from_pydict(

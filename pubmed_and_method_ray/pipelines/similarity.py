@@ -64,17 +64,24 @@ def ann_topk(sf_dir: str, query_vec_id: int = 0, k: int = 10):
     )
 
 
+def lsh_planes(n_planes: int = 8, dim: int = 64) -> np.ndarray:
+    """Fixed seeded random hyperplanes — exposed so the DuckDB oracle can
+    embed the identical float64 literals (__ray_entry__.oracle_sql)."""
+    rng = np.random.default_rng(42)
+    return rng.normal(size=(n_planes, dim))
+
+
 def ann_topk_lsh(sf_dir: str, query_vec_id: int = 0, k: int = 10, n_planes: int = 8):
     """LSH-bucketed ANN: sign(random-hyperplane projections) buckets;
     search only buckets within Hamming distance <= 1 of the query bucket
-    (multi-probe). Approximate — returns ≥0 and ≤k rows; no SQL oracle."""
+    (multi-probe). Deterministic (fixed planes), so the oracle re-derives
+    the same buckets from embedded plane literals."""
     import ray
     import ray.data as rd
 
     q = _load_query_vec(sf_dir, query_vec_id)
     dim = len(q)
-    rng = np.random.default_rng(42)  # fixed planes, deterministic
-    planes = rng.normal(size=(n_planes, dim))
+    planes = lsh_planes(n_planes, dim)
     qsig = int(np.packbits(planes @ q > 0, bitorder="little")[0])
     probe = {qsig} | {qsig ^ (1 << i) for i in range(n_planes)}
     bref = ray.put((planes, q, probe))
@@ -110,6 +117,47 @@ def ann_topk_lsh(sf_dir: str, query_vec_id: int = 0, k: int = 10, n_planes: int 
     )
 
 
+def ivf_centroids(ds, n_lists: int, dim: int):
+    """Distributed deterministic IVF 'centroids': vectors are hash-
+    partitioned by md5_u64(vec_id) % n_lists and each list's centroid is
+    its fixed-point mean (int64 sums of floor(x*1e6+0.5) — exact and
+    associative, so DuckDB reproduces the doubles bit-for-bit). The
+    per-batch partials reduce to n_lists x dim ints: constant-size
+    driver state regardless of table size (the A2 global-sum pattern).
+    Returns (n_lists, dim) float64; empty lists hold NaN."""
+    from ..functions.hashing import md5_u64_array
+
+    def partial(t: pa.Table) -> pa.Table:
+        vid = t["vec_id"].to_numpy(zero_copy_only=False)
+        bkt = md5_u64_array([str(int(v)) for v in vid]) % np.uint64(n_lists)
+        V = np.stack([np.asarray(x, dtype=np.float64) for x in t["embedding"].to_pylist()])
+        F = np.floor(V * 1e6 + 0.5).astype(np.int64)
+        rows = []
+        for b in np.unique(bkt):
+            m = bkt == b
+            rows.append((int(b), F[m].sum(axis=0).tolist(), int(m.sum())))
+        return pa.Table.from_pydict(
+            {
+                "bkt": pa.array([r[0] for r in rows], pa.int64()),
+                "sums": pa.array([r[1] for r in rows], pa.list_(pa.int64())),
+                "n": pa.array([r[2] for r in rows], pa.int64()),
+            }
+        )
+
+    sums = np.zeros((n_lists, dim), dtype=np.int64)
+    counts = np.zeros(n_lists, dtype=np.int64)
+    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow", batch_size=65536
+    ):
+        for bkt, s, n in zip(
+            b["bkt"].to_pylist(), b["sums"].to_pylist(), b["n"].to_pylist()
+        ):
+            sums[bkt] += np.asarray(s, dtype=np.int64)
+            counts[bkt] += n
+    with np.errstate(invalid="ignore", divide="ignore"):
+        return sums / (1e6 * counts[:, None])
+
+
 def ann_topk_ivf(
     sf_dir: str,
     query_vec_id: int = 0,
@@ -118,37 +166,21 @@ def ann_topk_ivf(
     n_probe: int = 4,
 ):
     """IVF-style ANN (the 100-TB scale path alongside LSH): deterministic
-    centroid seeds (hash-picked vectors, one refinement sweep), every
-    vector assigned to its nearest list, search only the ``n_probe``
-    lists nearest to the query. Approximate — no SQL oracle."""
+    hash-bucket centroids fitted DISTRIBUTED (constant-size driver
+    reduce, no full-table read), every vector assigned to its max-dot
+    list, search only the ``n_probe`` lists nearest to the query.
+    Dots are rounded to 9 digits before argmax (tie-break: lowest list)
+    for exact parity with the SQL oracle."""
     import ray
     import ray.data as rd
-    import pyarrow.parquet as pq
 
-    # fit centroids driver-side on the (small) vector sample — at real
-    # scale this is a sampled k-means; assignment + search stay distributed
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
-    M = np.stack([np.asarray(x, dtype=np.float64) for x in t["embedding"].to_pylist()])
-    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
-
-    from ..functions.hashing import splitmix64
-
-    seed_idx = np.unique(splitmix64(np.arange(n_lists, dtype=np.uint64) * np.uint64(97)) % len(ids))
-    C = Mn[seed_idx.astype(np.int64)]
-    # one Lloyd sweep for stability (deterministic)
-    assign = np.argmax(Mn @ C.T, axis=1)
-    for j in range(len(C)):
-        members = Mn[assign == j]
-        if len(members):
-            c = members.mean(axis=0)
-            n = np.linalg.norm(c)
-            if n > 0:
-                C[j] = c / n
-
-    qpos = int(np.nonzero(ids == query_vec_id)[0][0])
-    q = Mn[qpos]
-    probe_lists = set(np.argsort(-(C @ q))[:n_probe].tolist())
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    q = _load_query_vec(sf_dir, query_vec_id)
+    C = ivf_centroids(ds, n_lists, dim=len(q))
+    qdots = np.round(C @ q, 9)
+    qdots[np.isnan(qdots)] = -np.inf
+    order = np.lexsort((np.arange(n_lists), -qdots))
+    probe_lists = set(order[:n_probe].tolist())
     ref = ray.put((C, q, probe_lists))
 
     def score(t: pa.Table) -> pa.Table:
@@ -158,7 +190,9 @@ def ann_topk_ivf(
         vid = np.asarray(t["vec_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
         V = np.stack([np.asarray(x, dtype=np.float64) for x in t["embedding"].to_pylist()])
         V = V / np.linalg.norm(V, axis=1, keepdims=True)
-        lists = np.argmax(V @ C_.T, axis=1)
+        dots = np.round(V @ C_.T, 9)  # (batch, n_lists)
+        dots[np.isnan(dots)] = -np.inf
+        lists = np.argmax(dots, axis=1)  # first max == lowest list id
         keep = np.array([l in probe_ for l in lists]) & (vid != query_vec_id)
         vid, V = vid[keep], V[keep]
         if len(vid) == 0:
@@ -176,7 +210,6 @@ def ann_topk_ivf(
             }
         )
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     return (
         ds.map_batches(score, batch_format="pyarrow", batch_size=512)
         .sort("cos_sim", descending=True)

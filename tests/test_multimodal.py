@@ -43,7 +43,9 @@ class TestDecodeActors:
         o1 = DecodePayload()(b)
         o2 = DecodePayload()(b)
         assert o1.equals(o2)
-        assert o1.column_names == ["doc_id", "width", "height", "feature"]
+        assert o1.column_names == ["doc_id", "width", "height"] + [
+            f"f{j}" for j in range(8)
+        ]
         assert all(64 <= w < 256 for w in o1["width"].to_pylist())
 
     def test_resize_outputs_target_dims(self):
@@ -63,7 +65,9 @@ class TestPipelines:
     def test_decode_features_ds(self):
         df = decode_features(SF).to_pandas()
         assert len(df) == 500
-        assert set(df.columns) == {"doc_id", "width", "height", "feature"}
+        assert set(df.columns) == {"doc_id", "width", "height"} | {
+            f"f{j}" for j in range(8)
+        }
 
     def test_resize_and_frames_ds(self):
         r = resize_features(SF).to_pandas()
