@@ -35,6 +35,30 @@ def _configure_ray_data() -> None:
         ctx.join_operator_actor_num_cpus_per_partition_override = 0.25
     except Exception:  # pragma: no cover - older/newer ray fallback
         pass
+    _silence_empty_partition_schema_warning()
+
+
+class _EmptySchemaMismatchFilter:
+    """Ray's hash-shuffle operator emits schema-LESS RefBundles for empty
+    hash partitions (reproduced: repartition(keys=...) where a partition
+    receives no rows), which triggers a benign 'different schema ... new
+    schema: .' warning per empty partition. This engine's own empty
+    tables always carry full schemas, so only the empty-new-schema form
+    of the warning is dropped; genuine schema mismatches still log."""
+
+    def filter(self, record) -> bool:  # logging.Filter protocol
+        m = record.getMessage()
+        return not (
+            "RefBundle with a different schema" in m and "new schema: ." in m
+        )
+
+
+def _silence_empty_partition_schema_warning() -> None:
+    import logging
+
+    logging.getLogger(
+        "ray.data._internal.execution.streaming_executor_state"
+    ).addFilter(_EmptySchemaMismatchFilter())
 
 
 _configure_ray_data()

@@ -30,10 +30,6 @@ def _read_documents(sf_dir: str, columns=None):
     return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
 
 
-def _token_set(text: str) -> set[str]:
-    return set((text or "").lower().split(" "))
-
-
 # -- exact dedup (D2/D4 analog): hash-partition + per-group min ------------
 
 def dedup_exact(sf_dir: str):
@@ -60,42 +56,160 @@ def dedup_exact(sf_dir: str):
 
 # -- within-block pair jaccard (the oracle-checked near-dup kernel) --------
 
-def _pairs_with_jaccard(group, threshold: float | None):
-    ids = group["doc_id"].to_pylist()
-    toks = [_token_set(x) for x in group["text"].to_pylist()]
-    lang = group["lang"][0].as_py()
-    source = group["source"][0].as_py()
-    id1, id2, jac = [], [], []
-    order = np.argsort(np.asarray(ids, dtype=np.int64))
-    for ai in range(len(order) - 1):
-        a = order[ai]
-        for bi in range(ai + 1, len(order)):
-            b = order[bi]
-            inter = len(toks[a] & toks[b])
-            union = len(toks[a] | toks[b])
-            j = inter / union if union else 0.0
-            if threshold is None or j >= threshold:
-                id1.append(ids[a])
-                id2.append(ids[b])
-                jac.append(j)
-    return pa.Table.from_pydict(
-        {
-            "doc_id1": pa.array(id1, pa.int64()),
-            "doc_id2": pa.array(id2, pa.int64()),
-            "lang": pa.array([lang] * len(id1), pa.string()),
-            "source": pa.array([source] * len(id1), pa.string()),
-            "jaccard": pa.array(jac, pa.float64()),
-        }
-    )
-
-
-def pair_jaccard_docs(sf_dir: str, threshold: float | None = None):
+def pair_jaccard_docs(sf_dir: str, threshold: float | None = None, n_max: int = 1024):
     """All C(n,2) doc pairs within (lang, source) blocks with token-set
     jaccard — the reference's block pair-gen (and_datasets.sql:44-79)
-    fused with its jaccard kernel (string_utils.py:99-109)."""
+    fused with its jaccard kernel (string_utils.py:99-109).
+
+    Scale shape: token sets hash ONCE per doc (sorted-unique uint64
+    arrays), pair intersections run on the searchsorted kernels from
+    stages/features.py (no Python sets in the pair loop), and blocks
+    larger than ``n_max`` are salted with the exact triangle-join
+    replication from stages/blocking.py so one mega (lang, source)
+    block fans out across the cluster instead of pinning one task."""
+    import math
+
+    import ray
+
+    from ray.data.aggregate import Count
+
+    from ..functions.hashing import hash64_array
+    from ..stages.features import _intersect_count_sorted
+
     ds = _read_documents(sf_dir, columns=["doc_id", "text", "lang", "source"])
-    return ds.groupby(["lang", "source"], num_partitions=shuffle_partitions()).map_groups(
-        lambda g: _pairs_with_jaccard(g, threshold), batch_format="pyarrow"
+
+    # block census: (lang, source) cardinality is bounded (langs x
+    # sources), so the skew table is constant-sized driver state
+    census = (
+        _read_documents(sf_dir, columns=["lang", "source"])
+        .groupby(["lang", "source"], num_partitions=shuffle_partitions())
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+    )
+    sizes = {
+        (r.lang, r.source): int(r.n) for r in census.itertuples(index=False)
+    }
+    sizes_ref = ray.put(sizes)
+
+    def replicate(t: pa.Table) -> pa.Table:
+        from ..stages.mention_prep import get_broadcast
+
+        sz = get_broadcast(sizes_ref)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        langs = t["lang"].to_pylist()
+        srcs = t["source"].to_pylist()
+        texts = t["text"].to_pylist()
+        grp, part, out_idx, toks = [], [], [], []
+        for i, (d, l, s, x) in enumerate(zip(ids, langs, srcs, texts)):
+            th = np.unique(hash64_array((x or "").lower().split(" "), seed=0x7A))
+            toks.append(th)
+            S = max(1, math.ceil(sz[(l, s)] / n_max))
+            p = int(d) % S
+            for q in range(S):
+                grp.append(f"{l}|{s}|{min(p, q)}_{max(p, q)}")
+                part.append(p)
+                out_idx.append(i)
+        flat = (
+            np.concatenate([toks[i] for i in out_idx])
+            if out_idx
+            else np.empty(0, np.uint64)
+        )
+        lens = np.array([len(toks[i]) for i in out_idx], dtype=np.int32)
+        offsets = np.concatenate([[0], np.cumsum(lens)]).astype(np.int32)
+        tl = pa.ListArray.from_arrays(pa.array(offsets), pa.array(flat, pa.uint64()))
+        take = pa.array(out_idx, pa.int64())
+        return pa.Table.from_pydict(
+            {
+                "grp": pa.array(grp, pa.string()),
+                "part": pa.array(part, pa.int32()),
+                "doc_id": t["doc_id"].take(take),
+                "lang": t["lang"].take(take),
+                "source": t["source"].take(take),
+                "th": tl,
+            }
+        )
+
+    def group_pairs(t: pa.Table) -> pa.Table:
+        empty = pa.Table.from_pydict(
+            {
+                "doc_id1": pa.array([], pa.int64()),
+                "doc_id2": pa.array([], pa.int64()),
+                "lang": pa.array([], pa.string()),
+                "source": pa.array([], pa.string()),
+                "jaccard": pa.array([], pa.float64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        t = t.combine_chunks()
+        grp = np.asarray(t["grp"].to_pylist(), dtype=object)
+        part = np.asarray(t["part"].to_numpy(zero_copy_only=False))
+        ids = np.asarray(t["doc_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        arr = t["th"].combine_chunks() if isinstance(t["th"], pa.ChunkedArray) else t["th"]
+        off = np.asarray(arr.offsets)
+        vals = arr.values.to_numpy(zero_copy_only=False)
+        langs = t["lang"].to_pylist()
+        srcs = t["source"].to_pylist()
+
+        o1, o2, ol, os_, oj = [], [], [], [], []
+
+        def emit(a_rows, b_rows, within: bool):
+            # a_rows/b_rows: global row indices, each side sorted by id
+            for xi, gi in enumerate(a_rows):
+                sa = vals[off[gi] : off[gi + 1]]
+                start = xi + 1 if within else 0
+                for gj in b_rows[start:]:
+                    sb = vals[off[gj] : off[gj + 1]]
+                    inter = _intersect_count_sorted(sa, sb)
+                    union = len(sa) + len(sb) - inter
+                    j = inter / union if union else 0.0
+                    if threshold is None or j >= threshold:
+                        lo, hi = (
+                            (ids[gi], ids[gj])
+                            if ids[gi] < ids[gj]
+                            else (ids[gj], ids[gi])
+                        )
+                        o1.append(lo)
+                        o2.append(hi)
+                        ol.append(langs[gi])
+                        os_.append(srcs[gi])
+                        oj.append(j)
+
+        order = np.argsort(grp, kind="stable")
+        sgrp = grp[order]
+        bounds = np.concatenate(
+            [[0], np.nonzero(sgrp[1:] != sgrp[:-1])[0] + 1, [len(sgrp)]]
+        )
+        for s0, s1 in zip(bounds[:-1], bounds[1:]):
+            seg = order[s0:s1]
+            key = sgrp[s0]
+            a_id, b_id = (int(x) for x in key.rsplit("|", 1)[1].split("_"))
+            if a_id == b_id:
+                rows = seg[part[seg] == a_id]
+                rows = rows[np.argsort(ids[rows], kind="stable")]
+                emit(rows, rows, within=True)
+            else:
+                ra = seg[part[seg] == a_id]
+                rb = seg[part[seg] == b_id]
+                ra = ra[np.argsort(ids[ra], kind="stable")]
+                rb = rb[np.argsort(ids[rb], kind="stable")]
+                emit(ra, rb, within=False)
+        if not o1:
+            return empty
+        return pa.Table.from_pydict(
+            {
+                "doc_id1": pa.array(o1, pa.int64()),
+                "doc_id2": pa.array(o2, pa.int64()),
+                "lang": pa.array(ol, pa.string()),
+                "source": pa.array(os_, pa.string()),
+                "jaccard": pa.array(oj, pa.float64()),
+            }
+        )
+
+    return (
+        ds.map_batches(replicate, batch_format="pyarrow")
+        .repartition(num_blocks=shuffle_partitions(), keys=["grp"])
+        .map_batches(group_pairs, batch_format="pyarrow", batch_size=None)
     )
 
 
@@ -262,43 +376,113 @@ def dedup_simhash(sf_dir: str):
 
 # -- embedding cosine near-dup --------------------------------------------
 
-def dedup_embedding_cosine(sf_dir: str, threshold: float = 0.3):
-    """Pairs of embeddings with cosine >= threshold. Ray shape: broadcast
-    the (small-side) full matrix once via ray.put, per-batch numpy matmul
-    (the 100-TB path replaces the broadcast with IVF/LSH bucketing —
-    see similarity.ann_topk_lsh)."""
-    import ray
+def dedup_embedding_cosine(sf_dir: str, threshold: float = 0.3, n_parts: int = 8):
+    """EXACT all-pairs cosine >= threshold, fully distributed: the
+    triangle-join replication (same construction as the mega-block
+    salting in stages/blocking.py) — each vector lands in partition
+    p = vec_id % P and is replicated to every partition-pair group
+    (min(p,q), max(p,q)); each group holds two partitions and runs ONE
+    vectorized matmul between them. No driver materialization, no full
+    broadcast; shuffle volume is P x input, work is the inherent O(n^2)
+    of the exact operator (use dedup_minhash_lsh / ann_topk_lsh for the
+    approximate web-scale path)."""
     import ray.data as rd
 
-    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    tbl = emb.to_pandas()
-    ids_all = tbl["vec_id"].to_numpy(dtype=np.int64)
-    M = np.stack(tbl["embedding"].to_numpy()).astype(np.float64)
-    M = M / np.linalg.norm(M, axis=1, keepdims=True)
-    ref = ray.put((ids_all, M))
+    dsz = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
 
-    class CosPairs:
-        def __init__(self):
-            self.ids_all, self.M = ray.get(ref)
+    def replicate(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["vec_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        V = np.stack([np.asarray(x, dtype=np.float64) for x in t["embedding"].to_pylist()])
+        V = V / np.linalg.norm(V, axis=1, keepdims=True)
+        p = (ids % n_parts).astype(np.int64)
+        out_ids, out_part, out_grp, out_vecs = [], [], [], []
+        for q in range(n_parts):
+            a = np.minimum(p, q)
+            b = np.maximum(p, q)
+            out_ids.append(ids)
+            out_part.append(p)
+            out_grp.append(a * n_parts + b)
+            out_vecs.append(V)
+        V2 = np.concatenate(out_vecs, axis=0)
+        n, dim = V2.shape
+        vlist = pa.ListArray.from_arrays(
+            pa.array(np.arange(0, (n + 1) * dim, dim, dtype=np.int32)),
+            pa.array(V2.ravel(), pa.float64()),
+        )
+        return pa.Table.from_pydict(
+            {
+                "grp": pa.array(np.concatenate(out_grp), pa.int32()),
+                "part": pa.array(np.concatenate(out_part), pa.int32()),
+                "vec_id": pa.array(np.concatenate(out_ids), pa.int64()),
+                "v": vlist,
+            }
+        )
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            ids = np.asarray(t["vec_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
-            V = np.stack([np.asarray(x, dtype=np.float64) for x in t["embedding"].to_pylist()])
-            V = V / np.linalg.norm(V, axis=1, keepdims=True)
-            sims = V @ self.M.T  # (batch, all)
-            out1, out2, cs = [], [], []
-            for r in range(len(ids)):
-                mask = (sims[r] >= threshold) & (self.ids_all > ids[r])
-                for j in np.nonzero(mask)[0]:
-                    out1.append(int(ids[r]))
-                    out2.append(int(self.ids_all[j]))
-                    cs.append(round(float(sims[r, j]), 9))
-            return pa.Table.from_pydict(
-                {
-                    "vec_id1": pa.array(out1, pa.int64()),
-                    "vec_id2": pa.array(out2, pa.int64()),
-                    "cos_sim": pa.array(cs, pa.float64()),
-                }
-            )
+    def group_pairs(t: pa.Table) -> pa.Table:
+        empty = pa.Table.from_pydict(
+            {
+                "vec_id1": pa.array([], pa.int64()),
+                "vec_id2": pa.array([], pa.int64()),
+                "cos_sim": pa.array([], pa.float64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        t = t.combine_chunks()
+        grp = np.asarray(t["grp"].to_numpy(zero_copy_only=False))
+        part = np.asarray(t["part"].to_numpy(zero_copy_only=False))
+        ids = np.asarray(t["vec_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        arr = t["v"].combine_chunks() if isinstance(t["v"], pa.ChunkedArray) else t["v"]
+        off = np.asarray(arr.offsets)
+        dim = off[1] - off[0] if len(off) > 1 else 0
+        V = arr.values.to_numpy(zero_copy_only=False).reshape(len(ids), dim)
+        o1, o2, cs = [], [], []
+        for g in np.unique(grp):
+            m = grp == g
+            a_id, b_id = int(g) // n_parts, int(g) % n_parts
+            # dedup within the group: a vector assigned to partition p
+            # appears in group (p,q) once per distinct q — same (grp,
+            # part) slice dedups by vec_id
+            if a_id == b_id:
+                sel = m & (part == a_id)
+                sids, su = np.unique(ids[sel], return_index=True)
+                SV = V[np.nonzero(sel)[0][su]]
+                sims = SV @ SV.T
+                iu, ju = np.triu_indices(len(sids), k=1)
+                keep = sims[iu, ju] >= threshold
+                o1.append(sids[iu[keep]])
+                o2.append(sids[ju[keep]])
+                cs.append(np.round(sims[iu[keep], ju[keep]], 9))
+            else:
+                sa = m & (part == a_id)
+                sb = m & (part == b_id)
+                aids, au = np.unique(ids[sa], return_index=True)
+                bids, bu = np.unique(ids[sb], return_index=True)
+                if not len(aids) or not len(bids):
+                    continue
+                A = V[np.nonzero(sa)[0][au]]
+                B = V[np.nonzero(sb)[0][bu]]
+                sims = A @ B.T
+                ii, jj = np.nonzero(sims >= threshold)
+                lo = np.minimum(aids[ii], bids[jj])
+                hi = np.maximum(aids[ii], bids[jj])
+                o1.append(lo)
+                o2.append(hi)
+                cs.append(np.round(sims[ii, jj], 9))
+        if not o1:
+            return empty
+        return pa.Table.from_pydict(
+            {
+                "vec_id1": pa.array(np.concatenate(o1), pa.int64()),
+                "vec_id2": pa.array(np.concatenate(o2), pa.int64()),
+                "cos_sim": pa.array(np.concatenate(cs), pa.float64()),
+            }
+        )
 
-    return emb.map_batches(CosPairs, batch_format="pyarrow", batch_size=256, concurrency=(1, 4))
+    return (
+        dsz.map_batches(replicate, batch_format="pyarrow")
+        .repartition(num_blocks=shuffle_partitions(), keys=["grp"])
+        .map_batches(group_pairs, batch_format="pyarrow", batch_size=None)
+    )

@@ -82,15 +82,50 @@ def run_er_pipeline(
 
     With ``workdir`` set, each stage checkpoints to
     ``{workdir}/{stage}/`` with a lineage manifest; a rerun with the same
-    fingerprints resumes from the last complete stage.
+    fingerprints resumes from the last complete stage. Fingerprints fold
+    in the INPUT identity (source files of ``pages_ds``), the idf vector
+    and the model weights, and chain per stage — rerunning the same
+    workdir with a different input/model/param invalidates every
+    downstream checkpoint instead of silently reusing stale data
+    (checkpoint.py contract).
     """
-    fp_in = ckpt.fingerprint(PIPELINE_VERSION, n_max, use_tfidf, keep_gold)
+    import hashlib
+
+    try:
+        input_id = tuple(sorted(pages_ds.input_files() or []))
+    except Exception:
+        input_id = ("<non-file-input>",)
+    idf_id = (
+        hashlib.blake2b(idf.tobytes(), digest_size=8).hexdigest()
+        if idf is not None
+        else None
+    )
+    model_id = (
+        hashlib.blake2b(model_json.encode(), digest_size=8).hexdigest()
+        if model_json
+        else None
+    )
+    fp_mentions = ckpt.fingerprint(
+        PIPELINE_VERSION, "mentions", input_id, use_tfidf, idf_sample_mod, idf_id
+    )
+    fp_scored = ckpt.fingerprint(
+        fp_mentions, "scored", n_max, keep_gold, model_id, threshold
+    )
+    fp_clusters = ckpt.fingerprint(fp_scored, "clusters", cc_method)
+    stage_fps = {
+        "mentions": fp_mentions,
+        "features": fp_scored,
+        "scored": fp_scored,
+        "clusters": fp_clusters,
+    }
 
     def persist(ds, name):
         """Break lineage once per stage: Parquet checkpoint (resumable)
         when workdir is set, else pin in the object store."""
         if workdir:
-            return ckpt.checkpoint(ds, os.path.join(workdir, name), name, fp_in)
+            return ckpt.checkpoint(
+                ds, os.path.join(workdir, name), name, stage_fps[name]
+            )
         return ds.materialize()
 
     def persist_if_reused(ds, name):

@@ -102,41 +102,61 @@ def pricing_summary(sf_dir: str):
 
 
 def revenue_by_nation(sf_dir: str):
-    """3-way join expressed Ray-Data-first: the small sides (customer ⋈
-    nation, orders) are broadcast via ray.put and applied as vectorized
-    lookups inside map_batches over the big side (lineitem) — the
-    broadcast-hash-join pattern for star schemas (SURVEY.md J1/J2);
-    only the final per-nation partials shuffle (25 rows)."""
+    """3-way join expressed Ray-Data-first for star schemas (SURVEY.md
+    J1/J2): ONLY the genuinely small dimensions (customer ⋈ nation — a
+    dim-side lookup) broadcast via ray.put; lineitem pre-aggregates
+    per order inside map_batches (fixed-point partials), then joins the
+    fact-sized orders table with a hash ``Dataset.join`` — no
+    fact-table-sized driver state anywhere."""
     import ray
-    import ray.data as rd
 
     cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
     nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
-    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).to_pandas()
-
     cust_nation = dict(
         zip(
             cust["c_custkey"].to_numpy(),
-            cust["c_nationkey"].map(dict(zip(nat["n_nationkey"], nat["n_name"]))).to_numpy(),
+            cust["c_nationkey"]
+            .map(dict(zip(nat["n_nationkey"], nat["n_name"])))
+            .to_numpy(),
         )
     )
-    order_cust = dict(zip(orders["o_orderkey"].to_numpy(), orders["o_custkey"].to_numpy()))
-    ref = ray.put((order_cust, cust_nation))
+    ref = ray.put(cust_nation)
 
-    def partial(t: pa.Table) -> pa.Table:
-        from ..stages.mention_prep import get_broadcast
+    def line_partial(t: pa.Table) -> pa.Table:
+        """Per-batch (orderkey -> fixed-point revenue) pre-aggregation:
+        shrinks the join input by the lines-per-order factor."""
+        import pandas as pd
 
-        order_cust_, cust_nation_ = get_broadcast(ref)
-        ok = t["l_orderkey"].to_numpy(zero_copy_only=False)
         rev = (
             t["l_extendedprice"].to_numpy(zero_copy_only=False)
             * (1.0 - t["l_discount"].to_numpy(zero_copy_only=False))
         )
-        nations = [cust_nation_[order_cust_[k]] for k in ok]
+        g = (
+            pd.DataFrame(
+                {
+                    "o_orderkey": t["l_orderkey"].to_numpy(zero_copy_only=False),
+                    "rev_c": _to_fixed(rev, 100.0),
+                }
+            )
+            .groupby("o_orderkey", as_index=False)["rev_c"]
+            .sum()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def attach_nation(t: pa.Table) -> pa.Table:
+        from ..stages.mention_prep import get_broadcast
+
+        lookup = get_broadcast(ref)
+        nations = [lookup[k] for k in t["o_custkey"].to_pylist()]
         import pandas as pd
 
         g = (
-            pd.DataFrame({"n_name": nations, "rev_c": _to_fixed(rev, 100.0)})
+            pd.DataFrame(
+                {
+                    "n_name": nations,
+                    "rev_c": t["rev_c"].to_numpy(zero_copy_only=False),
+                }
+            )
             .groupby("n_name", as_index=False)["rev_c"]
             .sum()
         )
@@ -144,10 +164,21 @@ def revenue_by_nation(sf_dir: str):
 
     from ray.data.aggregate import Sum
 
-    partials = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"]).map_batches(
-        partial, batch_format="pyarrow"
+    line = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"]
+    ).map_batches(line_partial, batch_format="pyarrow")
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    joined = line.join(
+        orders,
+        join_type="inner",
+        on=("o_orderkey",),
+        num_partitions=shuffle_partitions(),
     )
-    agg = partials.groupby("n_name", num_partitions=shuffle_partitions()).aggregate(Sum("rev_c", alias_name="rev_c"))
+    agg = (
+        joined.map_batches(attach_nation, batch_format="pyarrow")
+        .groupby("n_name", num_partitions=shuffle_partitions())
+        .aggregate(Sum("rev_c", alias_name="rev_c"))
+    )
     return agg.map_batches(
         lambda t: pa.Table.from_pydict(
             {
@@ -388,48 +419,115 @@ def join_order_priority_revenue(sf_dir: str):
 
 def user_activity(sf_dir: str):
     """Per-user rollup (A3/A4 groupArray analog): event count, distinct
-    event types, first/last timestamp, fixed-point value sum."""
-    import pandas as pd
+    event types, first/last timestamp, fixed-point value sum — entirely
+    NATIVE vectorized aggregates (no per-group Python): per-batch pandas
+    partials keyed (user, event_type), one groupby on that pair, then a
+    per-user rollup where Count() of the pair rows IS the distinct-type
+    count."""
+    from ray.data.aggregate import Count, Max, Min, Sum
 
-    def roll(g: pd.DataFrame) -> pd.DataFrame:
-        ts = g["ts"].astype("int64")
-        return pd.DataFrame(
+    def partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame(
             {
-                "user_id": [g["user_id"].iloc[0]],
-                "n_events": [len(g)],
-                "n_event_types": [g["event_type"].nunique()],
-                "first_ts": [int(ts.min())],
-                "last_ts": [int(ts.max())],
-                "sum_value": [
-                    int(_to_fixed(g["value"].to_numpy(), 1e6).sum()) / 1e6
-                ],
+                "user_id": t["user_id"].to_numpy(zero_copy_only=False),
+                "event_type": t["event_type"].to_pylist(),
+                "ts": t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False),
+                "value_c": _to_fixed(t["value"].to_numpy(zero_copy_only=False), 1e6),
             }
         )
+        g = df.groupby(["user_id", "event_type"], as_index=False).agg(
+            n=("ts", "size"),
+            min_ts=("ts", "min"),
+            max_ts=("ts", "max"),
+            value_c=("value_c", "sum"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
 
-    return (
+    per_type = (
         _read(sf_dir, "events", ["user_id", "event_type", "ts", "value"])
-        .groupby("user_id", num_partitions=shuffle_partitions())
-        .map_groups(roll, batch_format="pandas")
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["user_id", "event_type"], num_partitions=shuffle_partitions())
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Min("min_ts", alias_name="min_ts"),
+            Max("max_ts", alias_name="max_ts"),
+            Sum("value_c", alias_name="value_c"),
+        )
+    )
+    per_user = per_type.groupby(
+        "user_id", num_partitions=shuffle_partitions()
+    ).aggregate(
+        Sum("n", alias_name="n_events"),
+        Count(alias_name="n_event_types"),
+        Min("min_ts", alias_name="first_ts"),
+        Max("max_ts", alias_name="last_ts"),
+        Sum("value_c", alias_name="value_c"),
+    )
+    return per_user.map_batches(
+        lambda t: pa.Table.from_pydict(
+            {
+                "user_id": t["user_id"],
+                "n_events": t["n_events"],
+                "n_event_types": t["n_event_types"],
+                "first_ts": t["first_ts"],
+                "last_ts": t["last_ts"],
+                "sum_value": pa.array(
+                    t["value_c"].to_numpy(zero_copy_only=False) / 1e6,
+                    pa.float64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
     )
 
 
 def events_sessions(sf_dir: str, gap_us: int = 1_800_000_000):
     """Sessionization (streaming-shaped, SURVEY.md §2.13): per user, a new
-    session starts after a >30 min gap; groups sorted by ts inside
-    map_groups — the tumbling/session-window pattern on a batch log."""
-    import pandas as pd
+    session starts after a >30 min gap. ONE hash exchange on user_id,
+    then a fully VECTORIZED per-partition pass (sort by (user, ts), one
+    np.diff, one boolean sum per user) — no per-group Python calls."""
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        ts = g["ts"].astype("int64").sort_values().to_numpy()
-        n_sessions = 1 + int((np.diff(ts) > gap_us).sum()) if len(ts) else 0
-        return pd.DataFrame(
-            {"user_id": [g["user_id"].iloc[0]], "n_sessions": [n_sessions]}
+    def sessions(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        if t.num_rows == 0:
+            return pa.Table.from_pydict(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "n_sessions": pa.array([], pa.int64()),
+                }
+            )
+        df = pd.DataFrame(
+            {
+                "user_id": t["user_id"].to_numpy(zero_copy_only=False),
+                "ts": t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False),
+            }
+        ).sort_values(["user_id", "ts"], kind="mergesort")
+        u = df["user_id"].to_numpy()
+        ts = df["ts"].to_numpy()
+        same_user = np.concatenate([[False], u[1:] == u[:-1]])
+        gap_break = np.concatenate([[False], (ts[1:] - ts[:-1]) > gap_us])
+        breaks = same_user & gap_break
+        out = (
+            pd.DataFrame({"user_id": u, "b": breaks})
+            .groupby("user_id", as_index=True)["b"]
+            .agg(["sum", "size"])
+        )
+        return pa.Table.from_pydict(
+            {
+                "user_id": pa.array(out.index.to_numpy(np.int64), pa.int64()),
+                "n_sessions": pa.array(
+                    (out["sum"].to_numpy(np.int64) + 1), pa.int64()
+                ),
+            }
         )
 
     return (
         _read(sf_dir, "events", ["user_id", "ts"])
-        .groupby("user_id", num_partitions=shuffle_partitions())
-        .map_groups(sessions, batch_format="pandas")
+        .repartition(num_blocks=shuffle_partitions(), keys=["user_id"])
+        .map_batches(sessions, batch_format="pyarrow", batch_size=None)
     )
 
 

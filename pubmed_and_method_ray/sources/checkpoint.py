@@ -35,11 +35,25 @@ def manifest_path(stage_dir: str) -> str:
 
 
 def is_complete(stage_dir: str, fp: str) -> bool:
+    """A checkpoint resumes only if the manifest matches AND every
+    manifest-listed parquet file still exists with its recorded row
+    count — a stage dir with lost/truncated files recomputes instead of
+    silently resuming with partial data."""
     try:
         with open(manifest_path(stage_dir)) as f:
             m = json.load(f)
-        return m.get("fingerprint") == fp and m.get("complete", False)
-    except (OSError, json.JSONDecodeError):
+        if m.get("fingerprint") != fp or not m.get("complete", False):
+            return False
+        import pyarrow.parquet as pq
+
+        for fname, nrows in m.get("files", {}).items():
+            path = os.path.join(stage_dir, fname)
+            if not os.path.exists(path):
+                return False
+            if pq.read_metadata(path).num_rows != nrows:
+                return False
+        return True
+    except Exception:
         return False
 
 

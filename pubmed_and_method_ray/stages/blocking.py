@@ -357,12 +357,42 @@ def _empty_pairs(with_label: bool, group: pa.Table) -> pa.Table:
     return pa.Table.from_pydict({f.name: pa.array([], f.type) for f in fields})
 
 
+_TESTED_RAY_MINOR = ("2.49",)
+_version_warned = False
+
+
+def _check_block_integrity_assumption() -> None:
+    """Pair generation requires each hash partition to arrive as ONE
+    map_batches batch (batch_size=None + one block per partition — true
+    in Ray 2.49's hash-shuffle finalize). Ray's source carries a TODO to
+    split oversized partition blocks, which would silently break
+    pair_key groups, so fail LOUDLY on an untested Ray minor."""
+    global _version_warned
+    import ray
+
+    if _version_warned:
+        return
+    _version_warned = True
+    if not any(ray.__version__.startswith(v) for v in _TESTED_RAY_MINOR):
+        import warnings
+
+        warnings.warn(
+            f"ray {ray.__version__} not validated for one-block-per-"
+            "hash-partition pair generation; re-verify with "
+            "tests/test_pairs.py brute-force oracles before trusting "
+            "pair counts",
+            RuntimeWarning,
+        )
+
+
 def _keyed_buckets(mentions_ds, n_max: int, keep_gold: bool):
     """mentions -> salted/banded pair_key rows, hash-exchanged on the
     bucket key so WHOLE blocks hold complete pair_key groups (a plain
     map_batches over full blocks replaces groupby().map_groups and its
     per-group call overhead)."""
     import ray
+
+    _check_block_integrity_assumption()
 
     skew = skew_table_fast(mentions_ds, n_max)
     skew_ref = ray.put(skew)

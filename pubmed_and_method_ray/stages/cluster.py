@@ -94,34 +94,77 @@ def connected_components_distributed(edges_ds, max_rounds: int = 50):
     cpus = int(ray.cluster_resources().get("CPU", 8))
     num_partitions = max(2, min(64, cpus // 2))  # join aggregators are actors
 
-    prev_sig = None
+    # '\x7f' sorts after every url char, so Min(old) over (label row:
+    # current label, msg rows: sentinel) recovers the pre-round label
+    SENTINEL = "\x7f"
+
+    def tag_old(t: pa.Table) -> pa.Table:
+        return t.append_column("old", t["cluster_id"])
+
+    converged = False
     for _ in range(max_rounds):
         # messages: each edge forwards its source's current label to dst
         msgs = nbrs.join(
             labels, join_type="inner", on=("url",), num_partitions=num_partitions
         ).map_batches(
             lambda t: pa.Table.from_pydict(
-                {"url": t["nbr"], "cluster_id": t["cluster_id"]}
+                {
+                    "url": t["nbr"],
+                    "cluster_id": t["cluster_id"],
+                    "old": pa.array([SENTINEL] * t.num_rows, pa.string()),
+                }
             ),
             batch_format="pyarrow",
         )
-        new_labels = (
-            labels.union(msgs)
+        agg = (
+            labels.map_batches(tag_old, batch_format="pyarrow")
+            .union(msgs)
             .groupby("url", num_partitions=shuffle_partitions())
-            .aggregate(Min("cluster_id", alias_name="cluster_id"))
+            .aggregate(
+                Min("cluster_id", alias_name="cluster_id"),
+                Min("old", alias_name="old"),
+            )
         ).materialize()
 
-        # convergence: order-insensitive signature of (url, label)
-        import zlib
-
-        sig = 0
-        for b in new_labels.iter_batches(batch_format="pyarrow", batch_size=65536):
-            for u, l in zip(b["url"].to_pylist(), b["cluster_id"].to_pylist()):
-                sig ^= zlib.crc32(f"{u}\x00{l}".encode())
-        labels = new_labels
-        if sig == prev_sig:
+        # convergence: DISTRIBUTED changed-label count (per-batch partial
+        # sums reduced by ds.sum — no driver-side row scan)
+        changed = (
+            agg.map_batches(
+                lambda t: pa.Table.from_pydict(
+                    {
+                        "changed": pa.array(
+                            [
+                                int(
+                                    pa.compute.sum(
+                                        pa.compute.cast(
+                                            pa.compute.not_equal(
+                                                t["cluster_id"], t["old"]
+                                            ),
+                                            pa.int64(),
+                                        )
+                                    ).as_py()
+                                    or 0
+                                )
+                            ],
+                            pa.int64(),
+                        )
+                    }
+                ),
+                batch_format="pyarrow",
+            ).sum("changed")
+            or 0
+        )
+        labels = agg.drop_columns(["old"])
+        if changed == 0:
+            converged = True
             break
-        prev_sig = sig
+    if not converged:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "connected components: max_rounds=%d exhausted before fixpoint",
+            max_rounds,
+        )
     return labels
 
 
