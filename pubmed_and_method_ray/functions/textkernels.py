@@ -12,6 +12,8 @@ from __future__ import annotations
 
 import re
 
+import numpy as np
+
 # Compact English stopword set (analog of nltk stopwords used at
 # string_utils.py:86; frozen here so results are reproducible without nltk).
 EN_STOPWORDS = frozenset(
@@ -132,6 +134,108 @@ def jaro_winkler_similarity(s1: str | None, s2: str | None, p: float = 0.1) -> f
         if c1 != c2 or prefix == 4:
             break
         prefix += 1
+    return jaro + prefix * p * (1.0 - jaro)
+
+
+def _encode_padded(strs, pad_val: int):
+    """Codepoint matrix (n, maxlen) int32 padded with ``pad_val`` +
+    int64 lengths — shared encoding for the batch string kernels."""
+    n = len(strs)
+    lens = np.fromiter((len(s) for s in strs), dtype=np.int64, count=n)
+    maxlen = int(lens.max()) if n else 0
+    M = np.full((n, max(maxlen, 1)), pad_val, dtype=np.int32)
+    for k, s in enumerate(strs):
+        if s:
+            M[k, : len(s)] = np.frombuffer(
+                s.encode("utf-32-le"), dtype=np.uint32
+            ).astype(np.int32)
+    return M, lens
+
+
+def levenshtein_batch(a: list, b: list) -> np.ndarray:
+    """Vectorized Wagner-Fischer over pair lists: one DP row per
+    iteration across ALL pairs at once; the in-row deletion chain is the
+    classic prefix-min trick (cummin of base - j, then + j). Bit-exact
+    equal to ``levenshtein`` (tests/test_kernels.py asserts)."""
+    P = len(a)
+    if P == 0:
+        return np.zeros(0, dtype=np.int64)
+    A, la = _encode_padded(a, -1)
+    B, lb = _encode_padded(b, -2)
+    L1, L2 = A.shape[1], B.shape[1]
+    j_idx = np.arange(L2 + 1, dtype=np.int64)
+    prev = np.broadcast_to(j_idx, (P, L2 + 1)).copy()
+    out = lb.copy()  # pairs with len(a)==0
+    done = la == 0
+    for i in range(1, L1 + 1):
+        neq = (A[:, i - 1 : i] != B).astype(np.int64)  # (P, L2)
+        base = np.minimum(prev[:, 1:] + 1, prev[:, :-1] + neq)
+        full = np.concatenate(
+            [np.full((P, 1), i, dtype=np.int64), base], axis=1
+        )
+        cur = np.minimum.accumulate(full - j_idx, axis=1) + j_idx
+        hit = (la == i) & ~done
+        if hit.any():
+            out[hit] = cur[hit, lb[hit]]
+            done |= hit
+        prev = cur
+    return out
+
+
+def jaro_winkler_batch(a: list, b: list, p: float = 0.1) -> np.ndarray:
+    """Vectorized Jaro-Winkler over pair lists — greedy window matching
+    runs one s1-position per iteration across all pairs; transposition
+    counting aligns the ragged matched sequences via row-major nonzero.
+    Bit-exact equal to ``jaro_winkler_similarity`` (tests assert)."""
+    P = len(a)
+    if P == 0:
+        return np.zeros(0, dtype=np.float64)
+    A, la = _encode_padded(a, -1)
+    B, lb = _encode_padded(b, -2)
+    L1, L2 = A.shape[1], B.shape[1]
+    w = np.maximum(np.maximum(la, lb) // 2 - 1, 0)
+    jcols = np.arange(L2, dtype=np.int64)
+    flags2 = np.zeros((P, L2), dtype=bool)
+    matched_j = np.full((P, L1), -1, dtype=np.int64)
+    for i in range(L1):
+        active = i < la
+        cand = (
+            (B == A[:, i : i + 1])
+            & ~flags2
+            & (jcols[None, :] >= (i - w)[:, None])
+            & (jcols[None, :] < np.minimum(lb, i + w + 1)[:, None])
+            & active[:, None]
+        )
+        has = cand.any(axis=1)
+        js = np.argmax(cand, axis=1)
+        flags2[np.nonzero(has)[0], js[has]] = True
+        matched_j[has, i] = js[has]
+    m = (matched_j >= 0).sum(axis=1).astype(np.int64)
+    # transpositions: k-th matched char of s1 (i order) vs k-th matched
+    # char of s2 (j order) — row-major nonzero aligns the ragged rows
+    p1, i1 = np.nonzero(matched_j >= 0)
+    p2, j2 = np.nonzero(flags2)
+    neq = (A[p1, i1] != B[p2, j2]).astype(np.int64)
+    trans = np.bincount(p1, weights=neq, minlength=P).astype(np.int64) // 2
+    mf = m.astype(np.float64)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        jaro = (mf / la + mf / lb + (mf - trans) / mf) / 3.0
+    jaro = np.where(m == 0, 0.0, jaro)
+    jaro = np.where((la == 0) & (lb == 0), 1.0, jaro)  # '' == '' -> 1.0
+    # winkler prefix boost: common prefix capped at 4
+    k = min(4, L1, L2)
+    if k > 0:
+        pos = np.arange(k)
+        eq = (
+            (A[:, :k] == B[:, :k])
+            & (pos[None, :] < la[:, None])
+            & (pos[None, :] < lb[:, None])
+        )
+        prefix = np.minimum(
+            np.cumprod(eq, axis=1).sum(axis=1), 4
+        ).astype(np.float64)
+    else:
+        prefix = np.zeros(P)
     return jaro + prefix * p * (1.0 - jaro)
 
 

@@ -10,23 +10,29 @@ together if ANY band agrees), and explicit salting of skewed mega-blocks
 (north_rule; skew acknowledged in reference README.md:3).
 
 Design notes (scale):
-- ONE all-to-all shuffle: ``groupby(pair_key)``. The census groupby runs
-  on (host, band, value) strings only — tiny rows.
-- Mega-block salting with EXACT C(n,2) coverage: a block of size n >
-  n_max is split into S = ceil(n/n_max) salt groups by a stable hash of
-  the url; each mention is re-emitted to every group pair (i,j) with
-  i <= j that contains its salt — the classic triangle-join replication
-  (S rows per mention). Group (i,i) emits within-pairs, (i,j) emits
-  cross-pairs only, so the union is exactly C(n,2), no duplicates.
-- Cross-band dedup WITHOUT a second shuffle: a pair that agrees on
-  several bands would be emitted once per band; instead each group
-  emits the pair only when its band index equals the SMALLEST band index
-  on which the two mentions agree (both sides' band vectors are in the
-  group). Canonical (url1 < url2) ordering mirrors the reference's
-  ``arraySort([id1,id2])`` rule (database/and_datasets.sql:62-68).
-- The true (un-salted) block size rides inside the key string, so the
-  ambiguity feature (analog of the commonness join at
-  database/pubmed_inner_outer_feature.sql:201-203) needs no extra join.
+- ONE all-to-all shuffle, partitioned by HOST, one row per mention: all
+  band keys of a mention share its host, so banding runs LOCALLY inside
+  each exchanged partition instead of replicating every mention's
+  payload once per band (6x less exchange volume than band-keyed
+  shuffling — the exchange, not the pair kernels, is the wall-clock
+  bound at bench scale).
+- Mega-HOST salting with EXACT coverage: a host with n > n_max mentions
+  is split into S = ceil(n/n_max) salt groups by a stable url hash;
+  each mention is re-emitted to every group pair (i,j) containing its
+  salt — the classic triangle-join replication. Group (i,i) emits
+  within-pairs, (i,j) cross-pairs only, so every band-agreeing pair is
+  generated exactly once.
+- Within a segment, candidates come from per-band local value grouping
+  (argsort + run boundaries, cached triu for within, vectorized
+  range-repeat for cross-side matches). Cross-band dedup: a pair is
+  emitted only at the SMALLEST band index on which the two mentions
+  agree (both band vectors are local). Canonical (url1 < url2) ordering
+  mirrors the reference's ``arraySort([id1,id2])`` rule
+  (database/and_datasets.sql:62-68).
+- The ambiguity feature uses the HOST block size (the commonness analog
+  of database/pubmed_inner_outer_feature.sql:201-203 — host commonness
+  == the reference's ns commonness), carried as ``n_true`` for salted
+  hosts and the local segment size otherwise — no extra join.
 """
 
 from __future__ import annotations
@@ -36,9 +42,35 @@ import math
 import numpy as np
 import pyarrow as pa
 
-from ..functions.hashing import stable_hash64
+from ..functions.hashing import hash64_array, splitmix64, stable_hash64
 from ..rayutil import shuffle_partitions
 from ..functions.simhash import DEFAULT_BANDS as N_BANDS
+
+_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _host_hashes(batch: pa.Table) -> np.ndarray:
+    """uint64 host hash per row — host strings are dictionary-encoded so
+    blake2b runs once per DISTINCT host per batch. 64-bit collisions
+    across hosts are ~2^-64 per pair — a collision merges two candidate
+    hosts (extra pairs the scorer rejects); it cannot drop pairs."""
+    hcol = batch["host"]
+    hcol = hcol.combine_chunks() if isinstance(hcol, pa.ChunkedArray) else hcol
+    henc = hcol.dictionary_encode()
+    if isinstance(henc, pa.ChunkedArray):
+        henc = henc.combine_chunks()
+    dict_hashes = hash64_array(henc.dictionary.to_pylist(), seed=0x42)
+    return dict_hashes[np.asarray(henc.indices)].astype(np.uint64)
+
+
+def _bands_matrix(group: pa.Table) -> np.ndarray:
+    """(R, NB) uint64 view of the fixed-width bands list column."""
+    arr = group["bands"]
+    arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    vals = arr.values.to_numpy(zero_copy_only=False).astype(np.uint64)
+    n = group.num_rows
+    nb = len(vals) // max(n, 1) if n else N_BANDS
+    return vals.reshape(n, nb)
 
 def n_pair_buckets() -> int:
     """Hash-exchange partition count for pair generation: one per CPU —
@@ -91,44 +123,49 @@ def block_census(mentions_ds):
 
 
 def _census_partials(batch: pa.Table, sample_mod: int = 1) -> pa.Table:
-    """Per-batch partial key counts (pre-aggregation, SURVEY.md §4).
-    ``sample_mod`` > 1 counts a deterministic 1/mod mention sample."""
-    from collections import Counter
-
-    hosts = batch["host"].to_pylist()
-    bands = batch["bands"].to_pylist()
+    """Per-batch partial HOST counts (pre-aggregation, SURVEY.md §4),
+    fully vectorized. ``sample_mod`` > 1 counts a deterministic 1/mod
+    mention sample."""
+    hh = _host_hashes(batch)
     if sample_mod > 1:
         urls = batch["url"].to_pylist()
-        keep = [stable_hash64(u, seed=0xCE) % sample_mod == 0 for u in urls]
-        hosts = [h for h, k in zip(hosts, keep) if k]
-        bands = [b for b, k in zip(bands, keep) if k]
-    c = Counter(k for h, bs in zip(hosts, bands) for k in _base_keys(h, bs))
+        keep = np.fromiter(
+            (stable_hash64(u, seed=0xCE) % sample_mod == 0 for u in urls),
+            dtype=bool,
+            count=len(urls),
+        )
+        hh = hh[keep]
+    keys, counts = np.unique(hh, return_counts=True)
     return pa.Table.from_pydict(
         {
-            "block_key": pa.array(list(c.keys()), pa.string()),
-            "n": pa.array(list(c.values()), pa.int64()),
+            "block_key": pa.array(keys, pa.uint64()),
+            "n": pa.array(counts, pa.int64()),
         }
     )
 
 
-def skew_table_fast(mentions_ds, n_max: int, sample_mod: int = 8) -> dict:
-    """Skew census on a deterministic 1/sample_mod mention sample, scaled
-    back up. SAFE approximation: salting is a load-balancing device —
-    pair coverage is exact with or without it — and a block big enough to
-    need salting (n > n_max >= 128) puts ~n/mod >= 16 mentions in the
-    sample, so the heavy tail is detected reliably. Driver merge is 8x
-    faster than a hash-shuffle groupby at this key cardinality; beyond
-    ~10^8 distinct sampled keys use skew_table(block_census(ds), n_max)."""
-    totals: dict[str, int] = {}
+def skew_table_fast(mentions_ds, n_max: int, sample_mod: int = 8):
+    """HOST skew census on a deterministic 1/sample_mod mention sample,
+    scaled back up. SAFE approximation: salting is a load-balancing
+    device — pair coverage is exact with or without it — and a host big
+    enough to need salting (n > n_max >= 128) puts ~n/mod >= 16 mentions
+    in the sample, so the heavy tail is detected reliably. Driver merge
+    is 8x faster than a hash-shuffle groupby at this key cardinality.
+    Returns (sorted uint64 host hashes, int64 counts) for vectorized
+    searchsorted lookup in the emit stage."""
+    totals: dict[int, int] = {}
     parts = mentions_ds.map_batches(
         _census_partials, fn_kwargs={"sample_mod": sample_mod}, batch_format="pyarrow"
     )
     for b in parts.iter_batches(batch_format="pyarrow", batch_size=262144):
-        for k, n in zip(b["block_key"].to_pylist(), b["n"].to_pylist()):
+        ks = b["block_key"].to_numpy(zero_copy_only=False)
+        ns = b["n"].to_numpy(zero_copy_only=False)
+        for k, n in zip(ks.tolist(), ns.tolist()):
             totals[k] = totals.get(k, 0) + n
-    return {
-        k: n * sample_mod for k, n in totals.items() if n * sample_mod > n_max
-    }
+    skew = {k: n * sample_mod for k, n in totals.items() if n * sample_mod > n_max}
+    keys = np.array(sorted(skew), dtype=np.uint64)
+    counts = np.array([skew[k] for k in keys.tolist()], dtype=np.int64)
+    return keys, counts
 
 
 def skew_table(census_ds, n_max: int) -> dict:
@@ -145,143 +182,225 @@ def skew_table(census_ds, n_max: int) -> dict:
     return skew
 
 
+def _pair_bucket(gk: np.ndarray, sa: np.ndarray, sb: np.ndarray, n_buckets: int) -> np.ndarray:
+    """Deterministic exchange bucket per pair-group row — a pure function
+    of the group identity so every row of a group lands together."""
+    mix = gk ^ (
+        sa.astype(np.uint64) * np.uint64(0x1F1F1F1F) + sb.astype(np.uint64)
+    )
+    return (splitmix64(mix) % np.uint64(n_buckets)).astype(np.int32)
+
+
 def emit_pair_keys(
     batch: pa.Table, skew_ref, n_max: int, keep_gold: bool, n_buckets: int
 ) -> pa.Table:
-    """Replicate each mention to its (possibly salted) pair-generation
-    groups: ``pair_key = base#n#i_j``. Task-based: the broadcast skew
-    dict is fetched once per worker (get_broadcast cache)."""
+    """ONE exchange row per mention (host-partitioned banding): numeric
+    host key, skew membership via searchsorted against the broadcast
+    host-skew arrays; only rare mega-HOST rows go through a Python
+    triangle-replication loop. Emits (host_h, n_true, salt, sa, sb,
+    bucket) — banding happens locally in the bucket task."""
     from .mention_prep import get_broadcast
 
-    skew = get_broadcast(skew_ref) or {}
-    hosts = batch["host"].to_pylist()
-    bands = batch["bands"].to_pylist()
-    urls = batch["url"].to_pylist()
-    keys: list[str] = []
-    take_idx: list[int] = []
-    for row, (h, bs, u) in enumerate(zip(hosts, bands, urls)):
-        for base in _base_keys(h, bs):
-            n = skew.get(base)
-            if n is None:
-                keys.append(f"{base}#0#0_0")
-                take_idx.append(row)
-            else:
-                S = math.ceil(n / n_max)
-                s = stable_hash64(u, seed=0x5A) % S
-                for i in range(S):
-                    a, b = (i, s) if i < s else (s, i)
-                    keys.append(f"{base}#{n}#{a}_{b}")
-                    take_idx.append(row)
+    skew_keys, skew_counts = get_broadcast(skew_ref)
+    n = batch.num_rows
+    hh = _host_hashes(batch)
+
+    if len(skew_keys):
+        pos = np.searchsorted(skew_keys, hh)
+        pos_c = np.minimum(pos, len(skew_keys) - 1)
+        hit = skew_keys[pos_c] == hh
+    else:
+        hit = np.zeros(n, dtype=bool)
+
+    ns = ~hit
+    out_row = [np.nonzero(ns)[0].astype(np.int64)]
+    out_hh = [hh[ns]]
+    k = int(ns.sum())
+    out_n = [np.zeros(k, dtype=np.int64)]
+    out_salt = [np.zeros(k, dtype=np.int32)]
+    out_sa = [np.zeros(k, dtype=np.int32)]
+    out_sb = [np.zeros(k, dtype=np.int32)]
+
+    # mega-host rows: Python replication loop (rare by construction)
+    if hit.any():
+        urls = batch["url"].to_pylist()
+        r_, h_, n_, s0, a_, b_ = [], [], [], [], [], []
+        for row in np.nonzero(hit)[0]:
+            ntrue = int(skew_counts[pos_c[row]])
+            S = math.ceil(ntrue / n_max)
+            s = stable_hash64(urls[row], seed=0x5A) % S
+            for i in range(S):
+                a, b = (i, s) if i < s else (s, i)
+                r_.append(row)
+                h_.append(hh[row])
+                n_.append(ntrue)
+                s0.append(s)
+                a_.append(a)
+                b_.append(b)
+        out_row.append(np.array(r_, dtype=np.int64))
+        out_hh.append(np.array(h_, dtype=np.uint64))
+        out_n.append(np.array(n_, dtype=np.int64))
+        out_salt.append(np.array(s0, dtype=np.int32))
+        out_sa.append(np.array(a_, dtype=np.int32))
+        out_sb.append(np.array(b_, dtype=np.int32))
+
+    rows = np.concatenate(out_row)
+    hhs = np.concatenate(out_hh)
+    ntrues = np.concatenate(out_n)
+    salts = np.concatenate(out_salt)
+    sas = np.concatenate(out_sa)
+    sbs = np.concatenate(out_sb)
+
     cols = [c for c in PAYLOAD_COLS if c in batch.column_names]
     if keep_gold and "entity_id" in batch.column_names:
         cols.append("entity_id")
-    out = batch.select(cols).take(pa.array(take_idx, pa.int64()))
-    out = out.append_column("pair_key", pa.array(keys, pa.string()))
+    out = batch.select(cols).take(pa.array(rows, pa.int64()))
+    out = out.append_column("host_h", pa.array(hhs, pa.uint64()))
+    out = out.append_column("n_true", pa.array(ntrues, pa.int64()))
+    out = out.append_column("salt", pa.array(salts, pa.int32()))
+    out = out.append_column("sa", pa.array(sas, pa.int32()))
+    out = out.append_column("sb", pa.array(sbs, pa.int32()))
     # group-bucketing: the pair-gen exchange shuffles on this small int
-    # key and each downstream task then processes MANY blocks in one
+    # key and each downstream task then processes MANY hosts in one
     # Python call (per-group map_groups overhead dominates otherwise)
-    import zlib
-
-    buckets = pa.array(
-        [zlib.crc32(k.encode()) % n_buckets for k in keys], pa.int32()
+    return out.append_column(
+        "bucket", pa.array(_pair_bucket(hhs, sas, sbs, n_buckets), pa.int32())
     )
-    return out.append_column("bucket", buckets)
 
 
-def _segment_pairs(key: str, seg: np.ndarray, urls: np.ndarray, bands: np.ndarray,
-                   n_max: int):
-    """Pair indices for ONE pair-key segment (global row indices in the
-    bucket table). Returns (left_idx, right_idx, block_size)."""
-    base, n_enc, ij = key.rsplit("#", 2)
-    band_idx = int(base.rsplit("|", 2)[1])
-    n_true = int(n_enc)
-    i_salt, j_salt = (int(x) for x in ij.split("_"))
-    rows = len(seg)
-    seg_urls = urls[seg]
-
-    if n_true > 0:
-        S = math.ceil(n_true / n_max)
-        salts = np.fromiter(
-            (stable_hash64(u, seed=0x5A) % S for u in seg_urls),
-            dtype=np.int64,
-            count=rows,
-        )
-        block_size = n_true
-    else:
-        salts = np.zeros(rows, dtype=np.int64)
-        i_salt = j_salt = 0
-        block_size = rows
-
-    ai, bi = np.triu_indices(rows, k=1)
-    sa, sb = salts[ai], salts[bi]
-    if i_salt == j_salt:
-        keep = (sa == i_salt) & (sb == i_salt)
-    else:
-        keep = ((sa == i_salt) & (sb == j_salt)) | ((sa == j_salt) & (sb == i_salt))
-    ai, bi = ai[keep], bi[keep]
-    if len(ai):
-        # cross-band dedup: emit only in the first agreeing band
-        eq = bands[seg[ai]] == bands[seg[bi]]  # (P, NB)
-        first_band = np.argmax(eq, axis=1)
-        keep2 = eq.any(axis=1) & (first_band == band_idx)
-        ai, bi = ai[keep2], bi[keep2]
-    if not len(ai):
-        z = np.empty(0, dtype=np.int64)
-        return z, z, block_size
-    ga, gb = seg[ai], seg[bi]
-    flip = urls[ga] > urls[gb]
-    return np.where(flip, gb, ga), np.where(flip, ga, gb), block_size
+_TRIU_CACHE: dict = {}
 
 
-def _split_bucket_blocks(part: pa.Table, n_splits: int):
-    """Slice one exchanged partition into ~n_splits blocks WITHOUT
-    breaking pair_key groups (sorted by key, cut at group boundaries).
-    Emitted as a generator so Ray Data treats each slice as its own block
-    and downstream feature tasks fan out across all CPUs."""
-    part = part.combine_chunks()
-    if n_splits <= 1 or part.num_rows == 0:
-        yield part
-        return
-    keys = np.asarray(part["pair_key"].to_pylist(), dtype=object)
-    order = np.argsort(keys, kind="stable")
-    sorted_keys = keys[order]
-    # group boundary positions in the sorted view
-    change = np.nonzero(sorted_keys[1:] != sorted_keys[:-1])[0] + 1
-    bounds = np.concatenate([[0], change, [len(sorted_keys)]])
-    targets = np.linspace(0, len(sorted_keys), n_splits + 1)[1:-1]
-    cut_idx = np.unique(bounds[np.searchsorted(bounds, targets)])
-    cuts = [0, *[int(c) for c in cut_idx], len(sorted_keys)]
-    for a, b in zip(cuts[:-1], cuts[1:]):
-        if b > a:
-            yield part.take(pa.array(order[a:b], pa.int64()))
+def _triu_cached(rows: int):
+    """np.triu_indices is surprisingly expensive for the many tiny
+    value-groups a segment holds — cache per group size."""
+    hit = _TRIU_CACHE.get(rows)
+    if hit is None:
+        if len(_TRIU_CACHE) > 4096:
+            _TRIU_CACHE.clear()
+        hit = _TRIU_CACHE[rows] = np.triu_indices(rows, k=1)
+    return hit
+
+
+def _dedup_earlier_bands(x: np.ndarray, y: np.ndarray, bands: np.ndarray, b_i: int):
+    """Keep only pairs whose FIRST agreeing band is b_i (cross-band
+    dedup without a second shuffle)."""
+    if b_i == 0 or not len(x):
+        return x, y
+    keep = ~(bands[x, :b_i] == bands[y, :b_i]).any(axis=1)
+    return x[keep], y[keep]
+
+
+def _within_band_pairs(rows: np.ndarray, bands: np.ndarray):
+    """All band-agreeing pairs among ``rows`` (global indices), each pair
+    exactly once (first agreeing band): per band, argsort values, run
+    boundaries, cached-triu within each value group."""
+    nb = bands.shape[1]
+    lefts, rights = [], []
+    for b_i in range(nb):
+        v = bands[rows, b_i]
+        o = np.argsort(v, kind="stable")
+        sv = v[o]
+        ch = np.nonzero(sv[1:] != sv[:-1])[0] + 1
+        starts = np.concatenate([[0], ch])
+        ends = np.concatenate([ch, [len(sv)]])
+        for s, e in zip(starts, ends):
+            g = e - s
+            if g < 2:
+                continue
+            ai, bi = _triu_cached(int(g))
+            x = rows[o[s + ai]]
+            y = rows[o[s + bi]]
+            x, y = _dedup_earlier_bands(x, y, bands, b_i)
+            if len(x):
+                lefts.append(x)
+                rights.append(y)
+    return lefts, rights
+
+
+def _cross_band_pairs(A: np.ndarray, B: np.ndarray, bands: np.ndarray):
+    """All band-agreeing (a in A) x (b in B) pairs, each exactly once:
+    per band, match B rows into A's sorted value runs and expand with a
+    vectorized range-repeat."""
+    nb = bands.shape[1]
+    lefts, rights = [], []
+    for b_i in range(nb):
+        va = bands[A, b_i]
+        oa = np.argsort(va, kind="stable")
+        sva = va[oa]
+        ch = np.nonzero(sva[1:] != sva[:-1])[0] + 1
+        starts = np.concatenate([[0], ch])
+        counts = np.diff(np.concatenate([starts, [len(sva)]]))
+        uvals = sva[starts]
+        vb = bands[B, b_i]
+        pos = np.searchsorted(uvals, vb)
+        pos_c = np.minimum(pos, max(len(uvals) - 1, 0))
+        hit = (uvals[pos_c] == vb) if len(uvals) else np.zeros(len(vb), bool)
+        reps = np.where(hit, counts[pos_c], 0)
+        total = int(reps.sum())
+        if total == 0:
+            continue
+        b_rep = np.repeat(B, reps)
+        cum = np.cumsum(reps) - reps
+        offs = np.arange(total) - np.repeat(cum, reps)
+        a_pos = np.repeat(starts[pos_c], reps) + offs
+        x = A[oa[a_pos]]
+        y = b_rep
+        x, y = _dedup_earlier_bands(x, y, bands, b_i)
+        if len(x):
+            lefts.append(x)
+            rights.append(y)
+    return lefts, rights
 
 
 def _bucket_pair_indices(group: pa.Table, n_max: int):
-    """(left_idx, right_idx, block_sizes) for ALL pair-key segments in one
-    bucket table (already combined into contiguous chunks)."""
-    keys = np.asarray(group["pair_key"].to_pylist(), dtype=object)
+    """(left_idx, right_idx, block_sizes) for ALL host/salt segments in
+    one bucket table (already combined into contiguous chunks). Segments
+    are found by a numeric lexsort over (host_h, sa, sb); banding runs
+    locally per segment. block_size = HOST size (the commonness/
+    ambiguity analog)."""
+    host_h = np.asarray(group["host_h"].to_numpy(zero_copy_only=False), dtype=np.uint64)
+    sa = np.asarray(group["sa"].to_numpy(zero_copy_only=False))
+    sb = np.asarray(group["sb"].to_numpy(zero_copy_only=False))
+    salt = np.asarray(group["salt"].to_numpy(zero_copy_only=False))
+    n_true = np.asarray(group["n_true"].to_numpy(zero_copy_only=False))
     urls = np.asarray(group["url"].to_pylist(), dtype=object)
-    bands = np.asarray(group["bands"].to_pylist(), dtype=np.uint64)
+    bands = _bands_matrix(group)
 
-    order = np.argsort(keys, kind="stable")
-    sorted_keys = keys[order]
-    uniq, starts = np.unique(sorted_keys, return_index=True)
-    bounds = list(starts) + [len(sorted_keys)]
+    order = np.lexsort((sb, sa, host_h))
+    h_s, a_s, b_s = host_h[order], sa[order], sb[order]
+    change = np.nonzero(
+        (h_s[1:] != h_s[:-1]) | (a_s[1:] != a_s[:-1]) | (b_s[1:] != b_s[:-1])
+    )[0] + 1
+    bounds = np.concatenate([[0], change, [len(order)]])
 
     lefts, rights, sizes = [], [], []
-    for si, key in enumerate(uniq):
-        seg = order[bounds[si] : bounds[si + 1]]
-        li, ri, bsize = _segment_pairs(key, seg, urls, bands, n_max)
-        if len(li):
-            lefts.append(li)
-            rights.append(ri)
-            sizes.append(np.full(len(li), bsize, dtype=np.int64))
+    for s0, s1 in zip(bounds[:-1], bounds[1:]):
+        seg = order[s0:s1]
+        first = seg[0]
+        a_id, b_id = int(sa[first]), int(sb[first])
+        bsize = int(n_true[first]) if n_true[first] > 0 else len(seg)
+        if a_id == b_id:
+            ls, rs = _within_band_pairs(seg, bands)
+        else:
+            sides = salt[seg]
+            ls, rs = _cross_band_pairs(
+                seg[sides == a_id], seg[sides == b_id], bands
+            )
+        for x, y in zip(ls, rs):
+            lefts.append(x)
+            rights.append(y)
+            sizes.append(np.full(len(x), bsize, dtype=np.int64))
     if not lefts:
         z = np.empty(0, dtype=np.int64)
         return z, z, z
+    li = np.concatenate(lefts)
+    ri = np.concatenate(rights)
+    # canonical (url1 < url2) ordering
+    flip = urls[li] > urls[ri]
     return (
-        np.concatenate(lefts),
-        np.concatenate(rights),
+        np.where(flip, ri, li),
+        np.where(flip, li, ri),
         np.concatenate(sizes),
     )
 
@@ -320,17 +439,32 @@ def make_features_bucket(
     n_max: int = 512,
     keep_gold: bool = True,
     model_ref=None,
+    prune_hamming: int | None = 16,
 ) -> pa.Table:
     """Fused pair-gen + featurization (+ optional scoring): emits
     (url_1, url_2, label?, feature columns[, score]) directly from the
     bucket's mention rows — the 16KB-per-pair payload rows of the unfused
     path never exist (SURVEY.md §7.4 'wide pair rows'). With a broadcast
     ``model_ref`` the GBT scores in the same task (production path: one
-    exchange, one pass, pairs -> scored edges)."""
+    exchange, one pass, pairs -> scored edges).
+
+    ``prune_hamming``: the classic ER cascade's cheap filter — candidate
+    pairs whose full-64-bit simhash Hamming distance exceeds it are
+    dropped BEFORE the expensive string/set kernels (one vectorized
+    popcount pass). Near-dup positives sit at d<=12 on this corpus while
+    band-collision negatives centre at d~19, so 16 trades ~70% of junk
+    featurization for zero positive loss; None disables."""
+    from ..functions.simhash import hamming64_arrays
     from .features import append_scores, empty_features, features_from_indices, model_from_ref
 
     group = group.combine_chunks()
     left_idx, right_idx, sizes = _bucket_pair_indices(group, n_max)
+    if prune_hamming is not None and len(left_idx):
+        sh = np.asarray(
+            group["simhash"].to_numpy(zero_copy_only=False), dtype=np.uint64
+        )
+        keep = hamming64_arrays(sh[left_idx], sh[right_idx]) <= prune_hamming
+        left_idx, right_idx, sizes = left_idx[keep], right_idx[keep], sizes[keep]
     with_label = keep_gold and "entity_id" in group.column_names
     if not len(left_idx):
         out = empty_features(with_label)
@@ -421,14 +555,23 @@ def generate_pairs(mentions_ds, n_max: int = 512, keep_gold: bool = True):
 
 
 def generate_pair_features(
-    mentions_ds, n_max: int = 512, keep_gold: bool = True, model_ref=None
+    mentions_ds,
+    n_max: int = 512,
+    keep_gold: bool = True,
+    model_ref=None,
+    prune_hamming: int | None = 16,
 ):
     """mentions -> per-pair FEATURE rows directly (fused pair-gen +
     featurize; wide pair payloads never materialize). With ``model_ref``
-    the rows come back scored too."""
+    the rows come back scored too. ``prune_hamming``: see
+    make_features_bucket (cheap cascade filter)."""
     return _keyed_buckets(mentions_ds, n_max, keep_gold).map_batches(
         lambda g: make_features_bucket(
-            g, n_max=n_max, keep_gold=keep_gold, model_ref=model_ref
+            g,
+            n_max=n_max,
+            keep_gold=keep_gold,
+            model_ref=model_ref,
+            prune_hamming=prune_hamming,
         ),
         batch_format="pyarrow",
         batch_size=None,

@@ -17,7 +17,25 @@ import numpy as np
 import pyarrow as pa
 
 from ..functions.simhash import hamming64_arrays
-from ..functions.textkernels import jaro_winkler_similarity, levenshtein
+from ..functions.textkernels import (
+    jaro_winkler_batch,
+    jaro_winkler_similarity,
+    levenshtein,
+    levenshtein_batch,
+)
+
+
+def _dedup_batch_kernel(strings: np.ndarray, li: np.ndarray, ri: np.ndarray, fn):
+    """Evaluate a batch string kernel once per DISTINCT (s[li], s[ri])
+    pair: dictionary-encode the string column, np.unique the id pairs,
+    run ``fn`` on the distinct pairs, scatter back via the inverse."""
+    uniq_strs, sid = np.unique(strings, return_inverse=True)
+    pair_code = sid[li].astype(np.int64) * len(uniq_strs) + sid[ri]
+    uniq_codes, inv = np.unique(pair_code, return_inverse=True)
+    ua = uniq_strs[(uniq_codes // len(uniq_strs))]
+    ub = uniq_strs[(uniq_codes % len(uniq_strs))]
+    vals = fn(list(ua), list(ub))
+    return np.asarray(vals)[inv]
 
 FEATURE_NAMES = [
     "jw_title",
@@ -114,35 +132,36 @@ def features_from_indices(
         io_, iv = _list_view(mentions["tfidf_idx"])
         wo, wv = _list_view(mentions["tfidf_w"])
 
-    jw_title = np.empty(n)
-    jw_path = np.empty(n)
-    lev_path = np.empty(n)
+    # string kernels run ONCE per DISTINCT (string_a, string_b) pair via
+    # dictionary encoding + np.unique, and each distinct pair goes
+    # through the VECTORIZED batch kernels (bit-exact vs the scalar
+    # ones) — same-entity pages share identical titles and candidate
+    # pairs repeat combinations many times
+    jw_title = _dedup_batch_kernel(
+        titles, li, ri, lambda A, B: jaro_winkler_batch(A, B)
+    )
+
+    def _path_kernels(A, B):
+        jw = jaro_winkler_batch(A, B)
+        lens = np.maximum(
+            np.maximum(
+                np.fromiter((len(x) for x in A), np.float64, len(A)),
+                np.fromiter((len(x) for x in B), np.float64, len(B)),
+            ),
+            1.0,
+        )
+        lev = 1.0 - levenshtein_batch(A, B) / lens
+        return np.stack([jw, lev], axis=1)
+
+    path_feats = _dedup_batch_kernel(paths, li, ri, _path_kernels)
+    jw_path = path_feats[:, 0]
+    lev_path = path_feats[:, 1]
+
     jac_tok = np.empty(n)
     jac_sh = np.empty(n)
     cos = np.zeros(n)
-    same_lang = np.empty(n)
-    # memoized string kernels: same-entity pages share identical titles
-    # and candidate pairs repeat (title_a, title_b) combinations many
-    # times, so the O(len^2) JW/levenshtein run once per distinct pair
-    jw_memo: dict = {}
-    path_memo: dict = {}
     for k in range(n):
         a, b = li[k], ri[k]
-        tkey = (titles[a], titles[b])
-        v = jw_memo.get(tkey)
-        if v is None:
-            v = jw_memo[tkey] = jaro_winkler_similarity(tkey[0], tkey[1])
-        jw_title[k] = v
-        pa_, pb = paths[a], paths[b]
-        pkey = (pa_, pb)
-        pv = path_memo.get(pkey)
-        if pv is None:
-            pv = path_memo[pkey] = (
-                jaro_winkler_similarity(pa_, pb),
-                1.0 - levenshtein(pa_, pb) / max(len(pa_), len(pb), 1),
-            )
-        jw_path[k] = pv[0]
-        lev_path[k] = pv[1]
         jac_tok[k] = _jaccard_u64(tv[to[a] : to[a + 1]], tv[to[b] : to[b + 1]])
         jac_sh[k] = _jaccard_u64(sv[so[a] : so[a + 1]], sv[so[b] : so[b + 1]])
         if has_tfidf:
@@ -152,7 +171,7 @@ def features_from_indices(
                 iv[io_[b] : io_[b + 1]],
                 wv[wo[b] : wo[b + 1]],
             )
-        same_lang[k] = 1.0 if langs[a] == langs[b] else 0.0
+    same_lang = (langs[li] == langs[ri]).astype(np.float64)
 
     days = np.abs(ts[li] - ts[ri]) / 86_400_000_000.0
     ts_prox = 1.0 / (1.0 + days)
