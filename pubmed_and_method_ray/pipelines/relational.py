@@ -13,7 +13,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..rayutil import shuffle_partitions
+from ..rayutil import join_partitions, shuffle_partitions
 
 
 def _read(sf_dir: str, table: str, columns=None):
@@ -172,7 +172,7 @@ def revenue_by_nation(sf_dir: str):
         orders,
         join_type="inner",
         on=("o_orderkey",),
-        num_partitions=shuffle_partitions(),
+        num_partitions=join_partitions(),
     )
     agg = (
         joined.map_batches(attach_nation, batch_format="pyarrow")
@@ -399,7 +399,7 @@ def join_order_priority_revenue(sf_dir: str):
         orders,
         join_type="inner",
         on=("o_orderkey",),
-        num_partitions=shuffle_partitions(),
+        num_partitions=join_partitions(),
     )
     agg = joined.groupby("o_orderpriority", num_partitions=shuffle_partitions()).aggregate(
         Sum("rev_c", alias_name="rev_c"),

@@ -14,7 +14,7 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 
-from ..rayutil import shuffle_partitions
+from ..rayutil import join_partitions, shuffle_partitions
 
 # fixed stopword list mirrored verbatim in the SQL oracle
 QUALITY_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
@@ -235,7 +235,7 @@ def doc_keywords(sf_dir: str, top_k: int = 5):
         df_ds,
         join_type="inner",
         on=("token",),
-        num_partitions=shuffle_partitions(),
+        num_partitions=join_partitions(),
     )
 
     def topk(t: pa.Table) -> pa.Table:

