@@ -139,6 +139,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "union_distinct_keys": relational.union_distinct_keys,
         "semi_join_orders": relational.semi_join_orders,
         "join_order_priority_revenue": relational.join_order_priority_revenue,
+        "title_repair": relational.title_repair,
+        "registry_enrich": relational.registry_enrich,
         "user_activity": relational.user_activity,
         "events_sessions": relational.events_sessions,
         "deterministic_sample": relational.deterministic_sample,
@@ -573,6 +575,27 @@ def oracle_sql() -> dict[str, str]:
             "/ 100.0 AS revenue "
             "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
             "GROUP BY o_orderpriority"
+        ),
+        # M8 analog: adopt the LONGEST variant per repair key (first
+        # token); tie-break lowest doc_id — name-enhancement pattern.
+        "title_repair": (
+            "WITH t AS (SELECT doc_id, n_chars, "
+            "str_split(lower(text), ' ')[1] AS repair_key FROM documents), "
+            "b AS (SELECT repair_key, doc_id AS best_id, n_chars AS best_len, "
+            "ROW_NUMBER() OVER (PARTITION BY repair_key "
+            "ORDER BY n_chars DESC, doc_id ASC) AS r FROM t) "
+            "SELECT t.doc_id AS doc_id, t.repair_key AS repair_key, "
+            "CASE WHEN b.best_len > t.n_chars THEN b.best_id ELSE t.doc_id END "
+            "AS enhanced_from, "
+            "CASE WHEN b.best_len > t.n_chars THEN b.best_len ELSE t.n_chars END "
+            "AS enhanced_len "
+            "FROM t JOIN b ON t.repair_key = b.repair_key AND b.r = 1"
+        ),
+        # J6 analog: chained registry joins (supplier -> nation -> region)
+        "registry_enrich": (
+            "SELECT s_suppkey, s_name, n_name, r_name FROM supplier "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey"
         ),
         "user_activity": (
             "SELECT user_id, COUNT(*) AS n_events, "

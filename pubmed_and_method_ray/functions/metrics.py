@@ -41,6 +41,41 @@ def calc_metrics(test_y, pred_y, prob: float = 0.5) -> dict:
     }
 
 
+def cluster_full_gold_metrics(entity_of: dict, cluster_of: dict) -> dict:
+    """Pairwise P/R/F1 of predicted clusters against the FULL gold
+    partition — every gold co-entity pair counts, whether or not
+    blocking ever produced it as a candidate (the reference's full
+    pair-universe semantics, database/and_datasets.sql:44-79, vs the
+    candidate-conditional variant below). Counts are set-algebraic —
+    no pair enumeration:
+
+        gold  = Σ_entity C(n,2);  pred = Σ_cluster C(n,2)
+        TP    = Σ_(entity ∩ cluster cell) C(n,2)
+    """
+    from collections import Counter
+
+    def pair_sum(counter) -> int:
+        return sum(n * (n - 1) // 2 for n in counter.values())
+
+    ents = Counter(entity_of.values())
+    clus = Counter(cluster_of[u] for u in entity_of)
+    cells = Counter((e, cluster_of[u]) for u, e in entity_of.items())
+    gold = pair_sum(ents)
+    pred = pair_sum(clus)
+    tp = pair_sum(cells)
+    p = tp / pred if pred else 0.0
+    r = tp / gold if gold else 0.0
+    f1 = 2 * p * r / (p + r) if (p + r) else 0.0
+    return {
+        "p": p,
+        "r": r,
+        "f1": f1,
+        "gold_pairs": gold,
+        "pred_pairs": pred,
+        "tp_pairs": tp,
+    }
+
+
 def cluster_pairwise_metrics(gold_pairs, cluster_of: dict) -> dict:
     """Pairwise P/R/F1 of predicted clusters against labeled pairs:
     predict 1 iff the two ids share a predicted cluster (SURVEY.md §2.12).

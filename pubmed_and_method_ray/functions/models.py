@@ -99,10 +99,206 @@ class StumpCommittee:
         return votes / total
 
 
+class DecisionTreeC45:
+    """C4.5-style decision tree: continuous-threshold splits chosen by
+    GAIN RATIO (information gain / split info — Quinlan 1993), the
+    from-scratch analog of the reference's custom C4.5
+    (/root/reference/src/model/c45.py:10-84). Deterministic (threshold
+    candidates from quantiles, ties broken by feature index); leaves
+    hold class probabilities."""
+
+    def __init__(self, max_depth: int = 8, min_samples: int = 4,
+                 n_thresholds: int = 32, feature_idx: np.ndarray | None = None):
+        self.max_depth = max_depth
+        self.min_samples = min_samples
+        self.n_thresholds = n_thresholds
+        self.feature_idx = feature_idx  # optional feature subset (for RF)
+        self.tree_: dict | None = None
+
+    @staticmethod
+    def _entropy(y: np.ndarray) -> float:
+        if len(y) == 0:
+            return 0.0
+        p = y.mean()
+        out = 0.0
+        for q in (p, 1.0 - p):
+            if q > 0:
+                out -= q * np.log2(q)
+        return out
+
+    def _best_split(self, X: np.ndarray, y: np.ndarray):
+        n = len(y)
+        parent = self._entropy(y)
+        best = None  # (gain_ratio, feature, thr)
+        feats = (
+            self.feature_idx
+            if self.feature_idx is not None
+            else np.arange(X.shape[1])
+        )
+        for f in feats:
+            col = X[:, f]
+            cand = np.unique(
+                np.quantile(col, np.linspace(0, 1, self.n_thresholds + 2)[1:-1])
+            )
+            for thr in cand:
+                left = col <= thr
+                nl = int(left.sum())
+                if nl == 0 or nl == n:
+                    continue
+                nr = n - nl
+                gain = parent - (
+                    nl / n * self._entropy(y[left])
+                    + nr / n * self._entropy(y[~left])
+                )
+                split_info = -(
+                    nl / n * np.log2(nl / n) + nr / n * np.log2(nr / n)
+                )
+                ratio = gain / split_info if split_info > 0 else 0.0
+                if best is None or ratio > best[0] + 1e-12:
+                    best = (ratio, int(f), float(thr))
+        return best
+
+    def _build(self, X: np.ndarray, y: np.ndarray, depth: int) -> dict:
+        if (
+            depth >= self.max_depth
+            or len(y) < self.min_samples
+            or y.min() == y.max()
+        ):
+            return {"leaf": float(y.mean()) if len(y) else 0.5}
+        best = self._best_split(X, y)
+        if best is None or best[0] <= 0.0:
+            return {"leaf": float(y.mean())}
+        _, f, thr = best
+        left = X[:, f] <= thr
+        return {
+            "f": f,
+            "thr": thr,
+            "l": self._build(X[left], y[left], depth + 1),
+            "r": self._build(X[~left], y[~left], depth + 1),
+        }
+
+    def fit(self, X: np.ndarray, y: np.ndarray) -> "DecisionTreeC45":
+        X = np.asarray(X, dtype=np.float64)
+        y = np.asarray(y, dtype=np.float64)
+        self.tree_ = self._build(X, y, 0)
+        return self
+
+    def _predict_one(self, node: dict, x: np.ndarray) -> float:
+        while "leaf" not in node:
+            node = node["l"] if x[node["f"]] <= node["thr"] else node["r"]
+        return node["leaf"]
+
+    def predict_proba(self, X: np.ndarray) -> np.ndarray:
+        X = np.asarray(X, dtype=np.float64)
+        return np.array([self._predict_one(self.tree_, x) for x in X])
+
+
+class RandomForest:
+    """Bagged C4.5-style trees with per-tree feature subsampling —
+    from-scratch analog of the reference's RF (its best model,
+    src/comparison/result.txt:31-34). Deterministic: seeded bootstrap
+    and feature draws."""
+
+    def __init__(self, n_trees: int = 20, max_depth: int = 8, seed: int = 13):
+        self.n_trees = n_trees
+        self.max_depth = max_depth
+        self.seed = seed
+        self.trees: list[DecisionTreeC45] = []
+
+    def fit(self, X: np.ndarray, y: np.ndarray) -> "RandomForest":
+        X = np.asarray(X, dtype=np.float64)
+        y = np.asarray(y, dtype=np.float64)
+        n, d = X.shape
+        k = max(1, int(np.sqrt(d)))
+        rng = np.random.default_rng(self.seed)
+        self.trees = []
+        for _ in range(self.n_trees):
+            rows = rng.integers(0, n, size=n)
+            feats = rng.choice(d, size=k, replace=False)
+            t = DecisionTreeC45(
+                max_depth=self.max_depth, feature_idx=np.sort(feats)
+            )
+            t.fit(X[rows], y[rows])
+            self.trees.append(t)
+        return self
+
+    def predict_proba(self, X: np.ndarray) -> np.ndarray:
+        return np.mean([t.predict_proba(X) for t in self.trees], axis=0)
+
+
+class GaussianNB:
+    """Gaussian naive Bayes (per-class feature means/variances) — the
+    reference zoo's NB member, numpy-native and deterministic."""
+
+    def __init__(self, var_smoothing: float = 1e-9):
+        self.var_smoothing = var_smoothing
+
+    def fit(self, X: np.ndarray, y: np.ndarray) -> "GaussianNB":
+        X = np.asarray(X, dtype=np.float64)
+        y = np.asarray(y, dtype=np.int64)
+        eps = self.var_smoothing * float(X.var(axis=0).max() or 1.0)
+        self.stats_ = {}
+        for c in (0, 1):
+            Z = X[y == c]
+            if len(Z) == 0:
+                Z = X
+            self.stats_[c] = (
+                np.log(max(float((y == c).mean()), 1e-12)),
+                Z.mean(axis=0),
+                Z.var(axis=0) + eps,
+            )
+        return self
+
+    def _joint(self, X: np.ndarray, c: int) -> np.ndarray:
+        prior, mu, var = self.stats_[c]
+        return prior + (
+            -0.5 * (np.log(2.0 * np.pi * var) + (X - mu) ** 2 / var)
+        ).sum(axis=1)
+
+    def predict_proba(self, X: np.ndarray) -> np.ndarray:
+        X = np.asarray(X, dtype=np.float64)
+        l0, l1 = self._joint(X, 0), self._joint(X, 1)
+        m = np.maximum(l0, l1)
+        e0, e1 = np.exp(l0 - m), np.exp(l1 - m)
+        return e1 / (e0 + e1)
+
+
+class KNNClassifier:
+    """k-nearest-neighbours on z-scored features (brute-force, exact) —
+    the reference zoo's KNN member; vote share as probability."""
+
+    def __init__(self, k: int = 7):
+        self.k = k
+
+    def fit(self, X: np.ndarray, y: np.ndarray) -> "KNNClassifier":
+        X = np.asarray(X, dtype=np.float64)
+        self.mean_ = X.mean(axis=0)
+        scale = X.std(axis=0)
+        scale[scale == 0] = 1.0
+        self.scale_ = scale
+        self.Z_ = (X - self.mean_) / self.scale_
+        self.y_ = np.asarray(y, dtype=np.float64)
+        return self
+
+    def predict_proba(self, X: np.ndarray) -> np.ndarray:
+        Z = (np.asarray(X, dtype=np.float64) - self.mean_) / self.scale_
+        out = np.empty(len(Z))
+        k = min(self.k, len(self.y_))
+        for i in range(0, len(Z), 1024):  # chunked distance matrix
+            d = ((Z[i : i + 1024, None, :] - self.Z_[None, :, :]) ** 2).sum(-1)
+            nn = np.argpartition(d, k - 1, axis=1)[:, :k]
+            out[i : i + 1024] = self.y_[nn].mean(axis=1)
+        return out
+
+
 MODEL_REGISTRY = {
     "gbt": lambda: GBTClassifier(n_estimators=60, learning_rate=0.2, max_depth=3),
     "logreg": lambda: LogisticRegressionGD(),
     "stumps": lambda: StumpCommittee(),
+    "c45": lambda: DecisionTreeC45(),
+    "rf": lambda: RandomForest(),
+    "nb": lambda: GaussianNB(),
+    "knn": lambda: KNNClassifier(),
 }
 
 

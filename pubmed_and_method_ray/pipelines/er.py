@@ -18,7 +18,11 @@ import os
 import numpy as np
 
 from ..functions.gbt import GBTClassifier
-from ..functions.metrics import calc_metrics, cluster_pairwise_metrics
+from ..functions.metrics import (
+    calc_metrics,
+    cluster_full_gold_metrics,
+    cluster_pairwise_metrics,
+)
 from ..sources import checkpoint as ckpt
 from ..stages.blocking import generate_pair_features
 from ..stages.cluster import assign_clusters
@@ -181,11 +185,18 @@ def run_er_pipeline(
         # pairwise metrics at threshold (reference metric.py semantics)
         sdf = scored.select_columns(["label", "score"]).to_pandas()
         out["pair_metrics"] = calc_metrics(sdf["label"], sdf["score"], prob=threshold)
-        # cluster co-membership metrics on the labeled candidate pairs
         cdf = clusters.to_pandas()
         cluster_of = dict(zip(cdf["url"], cdf["cluster_id"]))
+        # candidate-conditional co-membership metrics (scored pairs only)
         pdf = scored.select_columns(["url_1", "url_2", "label"]).to_pandas()
-        out["cluster_metrics"] = cluster_pairwise_metrics(
+        out["cluster_metrics_candidates"] = cluster_pairwise_metrics(
             zip(pdf["url_1"], pdf["url_2"], pdf["label"]), cluster_of
+        )
+        # FULL-gold-pair metrics: every gold co-entity pair counts, even
+        # ones blocking never surfaced — a recall miss in blocking shows
+        # up here instead of being silently excluded
+        mdf = mentions.select_columns(["url", "entity_id"]).to_pandas()
+        out["cluster_metrics"] = cluster_full_gold_metrics(
+            dict(zip(mdf["url"], mdf["entity_id"])), cluster_of
         )
     return out

@@ -604,6 +604,116 @@ def rank_docs(sf_dir: str):
     )
 
 
+def title_repair(sf_dir: str):
+    """M8 analog — the reference's well-formed-name repair
+    (/root/reference/database/author_name_enhancement.sql:85-130: when an
+    external variant of the same name is LONGER, adopt it; coverage
+    58%->91%). Web graft: docs sharing a repair key (first token — the
+    'lastname') adopt the longest variant in the group as their
+    enhancement source. Ray shape: argmax-with-tie-break packed into ONE
+    native Max aggregate (pack = n_chars * 2^33 + (2^33 - doc_id), so
+    max length wins and the LOWEST doc_id breaks ties), then a hash
+    join back — no driver-side state, scales with key cardinality."""
+    from ray.data.aggregate import Max
+
+    PACK = 1 << 33
+
+    def key_rows(t: pa.Table) -> pa.Table:
+        ks = [
+            (x or "").lower().split(" ")[0] for x in t["text"].to_pylist()
+        ]
+        return pa.Table.from_pydict(
+            {
+                "repair_key": pa.array(ks, pa.string()),
+                "doc_id": t["doc_id"],
+                "n_chars": t["n_chars"],
+            }
+        )
+
+    keyed = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"]).map_batches(
+        key_rows, batch_format="pyarrow"
+    )
+
+    def pack(t: pa.Table) -> pa.Table:
+        p = (
+            t["n_chars"].to_numpy(zero_copy_only=False) * PACK
+            + (PACK - t["doc_id"].to_numpy(zero_copy_only=False))
+        )
+        return pa.Table.from_pydict(
+            {"repair_key": t["repair_key"], "packed": pa.array(p, pa.int64())}
+        )
+
+    best = (
+        keyed.map_batches(pack, batch_format="pyarrow")
+        .groupby("repair_key", num_partitions=shuffle_partitions())
+        .aggregate(Max("packed", alias_name="packed"))
+    )
+
+    joined = keyed.join(
+        best,
+        join_type="inner",
+        on=("repair_key",),
+        num_partitions=join_partitions(),
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        packed = t["packed"].to_numpy(zero_copy_only=False)
+        best_len = packed // PACK
+        best_id = PACK - (packed % PACK)
+        own_len = t["n_chars"].to_numpy(zero_copy_only=False)
+        own_id = t["doc_id"].to_numpy(zero_copy_only=False)
+        adopt = best_len > own_len
+        return pa.Table.from_pydict(
+            {
+                "doc_id": t["doc_id"],
+                "repair_key": t["repair_key"],
+                "enhanced_from": pa.array(
+                    np.where(adopt, best_id, own_id), pa.int64()
+                ),
+                "enhanced_len": pa.array(
+                    np.where(adopt, best_len, own_len), pa.int64()
+                ),
+            }
+        )
+
+    return joined.map_batches(finalize, batch_format="pyarrow")
+
+
+def registry_enrich(sf_dir: str):
+    """J6 analog — the chained external-registry left joins
+    (/root/reference/database/model_building_using_rich_features.sql:25-40:
+    docs ⋈ MAG ⋈ S2 ⋈ AMiner by pm_ao). Generic side-input enrichment
+    hook: supplier rows pick up nation and region names through TWO
+    chained broadcast registries (dims broadcast once via ray.put,
+    vectorized lookup inside map_batches — zero shuffles)."""
+    import ray
+
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    reg = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    nation_name = dict(zip(nat["n_nationkey"], nat["n_name"]))
+    nation_region = dict(zip(nat["n_nationkey"], nat["n_regionkey"]))
+    region_name = dict(zip(reg["r_regionkey"], reg["r_name"]))
+    ref = ray.put((nation_name, nation_region, region_name))
+
+    def enrich(t: pa.Table) -> pa.Table:
+        from ..stages.mention_prep import get_broadcast
+
+        nn, nr, rn = get_broadcast(ref)
+        keys = t["s_nationkey"].to_pylist()
+        return pa.Table.from_pydict(
+            {
+                "s_suppkey": t["s_suppkey"],
+                "s_name": t["s_name"],
+                "n_name": pa.array([nn[k] for k in keys], pa.string()),
+                "r_name": pa.array([rn[nr[k]] for k in keys], pa.string()),
+            }
+        )
+
+    return _read(
+        sf_dir, "supplier", ["s_suppkey", "s_name", "s_nationkey"]
+    ).map_batches(enrich, batch_format="pyarrow")
+
+
 def union_distinct_keys(sf_dir: str):
     """Union + distinct (D1/D2): all nation/region names tagged by kind."""
     import ray.data as rd

@@ -22,16 +22,36 @@ def _toy(n=400, seed=5):
 
 class TestModelZoo:
     def test_registry(self):
-        assert available_models() == ["gbt", "logreg", "stumps"]
+        assert available_models() == [
+            "c45", "gbt", "knn", "logreg", "nb", "rf", "stumps",
+        ]
         with pytest.raises(KeyError):
             use_classifier("nope", *(_toy()[0], _toy()[1], _toy()[0]))
 
-    @pytest.mark.parametrize("name,floor", [("gbt", 0.97), ("logreg", 0.95), ("stumps", 0.75)])
+    @pytest.mark.parametrize(
+        "name,floor",
+        [
+            ("gbt", 0.97),
+            ("logreg", 0.95),
+            ("stumps", 0.75),
+            ("c45", 0.90),
+            ("rf", 0.90),
+            ("nb", 0.85),
+            ("knn", 0.90),
+        ],
+    )
     def test_each_model_learns(self, name, floor):
         X, y = _toy()
         _, proba = use_classifier(name, X, y, X)
         acc = ((proba > 0.5) == y).mean()
         assert acc >= floor, (name, acc)
+
+    @pytest.mark.parametrize("name", ["c45", "rf", "nb", "knn"])
+    def test_new_models_deterministic(self, name):
+        X, y = _toy()
+        _, p1 = use_classifier(name, X, y, X)
+        _, p2 = use_classifier(name, X, y, X)
+        assert np.array_equal(p1, p2)
 
     def test_logreg_deterministic(self):
         X, y = _toy()
@@ -79,6 +99,14 @@ class TestExperimentRunner:
         m = run_experiment(features_df, "text_features", "gbt", n_splits=4)
         assert m["f1"] >= 0.9
         assert set(m) >= {"acc", "p", "r", "f1"}
+
+    @pytest.mark.parametrize("name", ["logreg", "stumps", "c45", "rf", "nb"])
+    def test_experiment_runs_zoo(self, features_df, name):
+        """The reference's experiment matrix dispatches every zoo member
+        (src/main_app.py:4-67); discriminative features must score well
+        under each model through the same grouped-CV runner."""
+        m = run_experiment(features_df, "text_features", name, n_splits=3)
+        assert m["f1"] >= 0.7, (name, m)
 
     def test_feature_set_matters(self, features_df):
         good = run_experiment(features_df, "text_features", "logreg", n_splits=4)
