@@ -133,12 +133,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_parts": relational.top_parts,
         "filter_project_lineitem": relational.filter_project_lineitem,
         "events_hour_window": relational.events_hour_window,
+        "events_hopping_window": relational.events_hopping_window,
         "block_census_docs": relational.block_census_docs,
         "doc_commonness": relational.doc_commonness,
         "pair_gen_docs": relational.pair_gen_docs,
         "union_distinct_keys": relational.union_distinct_keys,
         "semi_join_orders": relational.semi_join_orders,
         "join_order_priority_revenue": relational.join_order_priority_revenue,
+        "top_docs_per_block": relational.top_docs_per_block,
+        "events_lag_delta": relational.events_lag_delta,
+        "event_value_median": relational.event_value_median,
         "title_repair": relational.title_repair,
         "registry_enrich": relational.registry_enrich,
         "user_activity": relational.user_activity,
@@ -542,6 +546,18 @@ def oracle_sql() -> dict[str, str]:
             "SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)) / 1000000.0 AS sum_value "
             "FROM events GROUP BY user_id, epoch_us(ts) // 3600000000"
         ),
+        # hopping window: event at t lands in windows w*hop for
+        # w in [t//hop - 1, t//hop] (size=2*hop)
+        "events_hopping_window": (
+            "WITH x AS (SELECT user_id, epoch_us(ts) AS us, "
+            "CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS value_c, "
+            "unnest(generate_series(0, 1)) AS j FROM events), "
+            "w AS (SELECT user_id, (us // 1800000000 - j) * 1800000000 "
+            "AS window_start, value_c FROM x) "
+            "SELECT user_id, window_start, COUNT(*) AS n_events, "
+            "SUM(value_c) / 1000000.0 AS sum_value "
+            "FROM w WHERE window_start >= 0 GROUP BY user_id, window_start"
+        ),
         "block_census_docs": (
             "SELECT lang, source, COUNT(*) AS n_docs FROM documents "
             "GROUP BY lang, source"
@@ -575,6 +591,28 @@ def oracle_sql() -> dict[str, str]:
             "/ 100.0 AS revenue "
             "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
             "GROUP BY o_orderpriority"
+        ),
+        "top_docs_per_block": (
+            "SELECT lang, source, doc_id, n_chars, rank FROM ("
+            "SELECT lang, source, doc_id, n_chars, ROW_NUMBER() OVER ("
+            "PARTITION BY lang, source ORDER BY n_chars DESC, doc_id ASC) "
+            "AS rank FROM documents) WHERE rank <= 3"
+        ),
+        # per-user LAG: fixed-point delta vs previous event by ts
+        "events_lag_delta": (
+            "SELECT user_id, ts_us, delta_value FROM ("
+            "SELECT user_id, epoch_us(ts) AS ts_us, "
+            "(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) - "
+            "lag(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)) OVER "
+            "(PARTITION BY user_id ORDER BY ts)) / 1000000.0 AS delta_value "
+            "FROM events) WHERE delta_value IS NOT NULL"
+        ),
+        # exact discrete median over fixed-point values (lower median)
+        "event_value_median": (
+            "SELECT event_type, "
+            "quantile_disc(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT), 0.5) "
+            "/ 1000000.0 AS median_value "
+            "FROM events GROUP BY event_type"
         ),
         # M8 analog: adopt the LONGEST variant per repair key (first
         # token); tie-break lowest doc_id — name-enhancement pattern.

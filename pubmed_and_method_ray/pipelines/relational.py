@@ -275,6 +275,61 @@ def events_hour_window(sf_dir: str):
     )
 
 
+def events_hopping_window(sf_dir: str, size_us: int = 3_600_000_000, hop_us: int = 1_800_000_000):
+    """Hopping (sliding) window aggregate (§2.13): each event lands in
+    size/hop overlapping windows — the flat-map replication pattern
+    (an event at t belongs to windows starting at
+    floor((t - size + hop) / hop) ... floor(t / hop)). Per-batch
+    partial aggregation before the (small) groupby shuffle, exactly
+    like the tumbling variant."""
+    k = size_us // hop_us  # windows per event
+
+    def window_partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        val = _to_fixed(t["value"].to_numpy(zero_copy_only=False), 1e6)
+        frames = []
+        last = us // hop_us  # last window index containing the event
+        for j in range(int(k)):
+            w = last - j
+            frames.append(
+                pd.DataFrame({"user_id": uid, "window_start": w * hop_us, "value_c": val})
+            )
+        df = pd.concat(frames)
+        df = df[df["window_start"] >= 0]
+        g = df.groupby(["user_id", "window_start"], as_index=False).agg(
+            n_events=("value_c", "size"), value_c=("value_c", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        _read(sf_dir, "events", ["ts", "user_id", "value"])
+        .map_batches(window_partial, batch_format="pyarrow")
+        .groupby(["user_id", "window_start"], num_partitions=shuffle_partitions())
+        .aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("value_c", alias_name="value_c"),
+        )
+    )
+    return agg.map_batches(
+        lambda t: pa.Table.from_pydict(
+            {
+                "user_id": t["user_id"],
+                "window_start": t["window_start"],
+                "n_events": t["n_events"],
+                "sum_value": pa.array(
+                    t["value_c"].to_numpy(zero_copy_only=False) / 1e6, pa.float64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def block_census_docs(sf_dir: str):
     """Block-size census over (lang, source) — the commonness census A1."""
     from ray.data.aggregate import Count
@@ -602,6 +657,155 @@ def rank_docs(sf_dir: str):
     return ds.groupby("n_chars", num_partitions=shuffle_partitions()).map_groups(
         rank_group, batch_format="pyarrow"
     )
+
+
+def top_docs_per_block(sf_dir: str, k: int = 3):
+    """Per-group top-k (grouped window pattern): the k longest docs per
+    (lang, source) block, rank attached. Ray shape: ONE hash exchange on
+    the block key, then a fully vectorized per-partition pandas
+    sort + groupby.head — no per-group Python calls."""
+
+    def topk(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        if t.num_rows == 0:
+            return pa.Table.from_pydict(
+                {
+                    "lang": pa.array([], pa.string()),
+                    "source": pa.array([], pa.string()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_chars": pa.array([], pa.int64()),
+                    "rank": pa.array([], pa.int64()),
+                }
+            )
+        df = t.select(["lang", "source", "doc_id", "n_chars"]).to_pandas()
+        df = df.sort_values(
+            ["lang", "source", "n_chars", "doc_id"],
+            ascending=[True, True, False, True],
+            kind="mergesort",
+        )
+        df["rank"] = df.groupby(["lang", "source"], sort=False).cumcount() + 1
+        df = df[df["rank"] <= k]
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return (
+        _read(sf_dir, "documents", ["doc_id", "lang", "source", "n_chars"])
+        .repartition(num_blocks=shuffle_partitions(), keys=["lang", "source"])
+        .map_batches(topk, batch_format="pyarrow", batch_size=None)
+    )
+
+
+def events_lag_delta(sf_dir: str):
+    """Per-user LAG window (ordered-window pattern): each event's value
+    delta vs the user's previous event by timestamp. ONE exchange on
+    user_id + vectorized per-partition sorted diff (fixed-point deltas
+    for oracle parity); first event per user (no predecessor) is
+    dropped — null-free output keeps the value-hash gate unambiguous."""
+
+    def lag(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        if t.num_rows == 0:
+            return pa.Table.from_pydict(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "ts_us": pa.array([], pa.int64()),
+                    "delta_value": pa.array([], pa.float64()),
+                }
+            )
+        df = pd.DataFrame(
+            {
+                "user_id": t["user_id"].to_numpy(zero_copy_only=False),
+                "ts_us": t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False),
+                "value_c": _to_fixed(t["value"].to_numpy(zero_copy_only=False), 1e6),
+            }
+        ).sort_values(["user_id", "ts_us"], kind="mergesort")
+        u = df["user_id"].to_numpy()
+        v = df["value_c"].to_numpy()
+        ts = df["ts_us"].to_numpy()
+        if len(v) < 2:
+            return pa.Table.from_pydict(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "ts_us": pa.array([], pa.int64()),
+                    "delta_value": pa.array([], pa.float64()),
+                }
+            )
+        same = u[1:] == u[:-1]
+        delta = (v[1:] - v[:-1]) / 1e6
+        return pa.Table.from_pydict(
+            {
+                "user_id": pa.array(u[1:][same], pa.int64()),
+                "ts_us": pa.array(ts[1:][same], pa.int64()),
+                "delta_value": pa.array(delta[same], pa.float64()),
+            }
+        )
+
+    return (
+        _read(sf_dir, "events", ["user_id", "ts", "value"])
+        .repartition(num_blocks=shuffle_partitions(), keys=["user_id"])
+        .map_batches(lag, batch_format="pyarrow", batch_size=None)
+    )
+
+
+def event_value_median(sf_dir: str):
+    """Exact per-group discrete median (quantile pattern) without a
+    global sort: fixed-point values pre-count per batch, ONE groupby
+    on (event_type, value) merges the histograms, then the tiny
+    per-type cumulative walk picks quantile_disc(0.5) — the
+    distributed-histogram route that scales to any row count while
+    staying bit-identical to DuckDB's quantile_disc."""
+    from ray.data.aggregate import Sum
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame(
+            {
+                "event_type": t["event_type"].to_pylist(),
+                "value_c": _to_fixed(t["value"].to_numpy(zero_copy_only=False), 1e6),
+            }
+        )
+        g = df.groupby(["event_type", "value_c"], as_index=False).size()
+        g = g.rename(columns={"size": "n"})
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    hist = (
+        _read(sf_dir, "events", ["event_type", "value"])
+        .map_batches(hist_partial, batch_format="pyarrow")
+        .groupby(["event_type", "value_c"], num_partitions=shuffle_partitions())
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def median_walk(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        if t.num_rows == 0:
+            return pa.Table.from_pydict(
+                {
+                    "event_type": pa.array([], pa.string()),
+                    "median_value": pa.array([], pa.float64()),
+                }
+            )
+        df = t.to_pandas().sort_values(["event_type", "value_c"], kind="mergesort")
+        out_t, out_m = [], []
+        for et, g in df.groupby("event_type", sort=False):
+            total = int(g["n"].sum())
+            target = (total + 1) // 2  # quantile_disc(0.5): lower median
+            cum = g["n"].cumsum()
+            v = g.loc[cum >= target, "value_c"].iloc[0]
+            out_t.append(et)
+            out_m.append(v / 1e6)
+        return pa.Table.from_pydict(
+            {
+                "event_type": pa.array(out_t, pa.string()),
+                "median_value": pa.array(out_m, pa.float64()),
+            }
+        )
+
+    return hist.repartition(
+        num_blocks=shuffle_partitions(), keys=["event_type"]
+    ).map_batches(median_walk, batch_format="pyarrow", batch_size=None)
 
 
 def title_repair(sf_dir: str):

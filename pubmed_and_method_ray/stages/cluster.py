@@ -196,25 +196,24 @@ def assign_clusters(
         else:
             mapping = _as_ref(connected_components_driver(edges_ds))
 
-        class Assign:
-            def __init__(self, mapping_ref):
-                self.mapping = ray.get(mapping_ref)
+        def assign(t: pa.Table, mapping_ref=mapping) -> pa.Table:
+            # task-based (not an actor pool): runs on every CPU with no
+            # actor spin-up; the mapping fetches once per worker process
+            # via the broadcast cache
+            from .mention_prep import get_broadcast
 
-            def __call__(self, t: pa.Table) -> pa.Table:
-                urls = t["url"].to_pylist()
-                cids = [self.mapping.get(u, u) for u in urls]
-                return pa.Table.from_pydict(
-                    {
-                        "url": pa.array(urls, pa.string()),
-                        "cluster_id": pa.array(cids, pa.string()),
-                    }
-                )
+            m = get_broadcast(mapping_ref)
+            urls = t["url"].to_pylist()
+            cids = [m.get(u, u) for u in urls]
+            return pa.Table.from_pydict(
+                {
+                    "url": pa.array(urls, pa.string()),
+                    "cluster_id": pa.array(cids, pa.string()),
+                }
+            )
 
         return mentions_ds.select_columns(["url"]).map_batches(
-            Assign,
-            fn_constructor_kwargs={"mapping_ref": mapping},
-            batch_format="pyarrow",
-            concurrency=(1, 4),
+            assign, batch_format="pyarrow"
         )
 
     # distributed path: CC labels for edge-nodes, then left-fill singletons

@@ -51,6 +51,39 @@ class TestSimilarityProperties:
         assert len(tk.edit_diff_chars(a, b)) == tk.levenshtein(a, b)
 
 
+class TestBatchKernelParity:
+    """The vectorized batch string kernels must be BIT-EXACT equal to
+    their scalar references on any input (stages/features.py relies on
+    this to swap them in the hot pair loop)."""
+
+    pairs = st.lists(
+        st.tuples(
+            st.text(alphabet="abcde/09 é", max_size=14),
+            st.text(alphabet="abcde/09 é", max_size=14),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+
+    @given(pairs)
+    @settings(max_examples=60, deadline=None)
+    def test_levenshtein_batch_matches_scalar(self, ps):
+        a = [x for x, _ in ps]
+        b = [y for _, y in ps]
+        got = tk.levenshtein_batch(a, b)
+        want = np.array([tk.levenshtein(x, y) for x, y in ps])
+        assert np.array_equal(got, want)
+
+    @given(pairs)
+    @settings(max_examples=60, deadline=None)
+    def test_jaro_winkler_batch_matches_scalar(self, ps):
+        a = [x for x, _ in ps]
+        b = [y for _, y in ps]
+        got = tk.jaro_winkler_batch(a, b)
+        want = np.array([tk.jaro_winkler_similarity(x, y) for x, y in ps])
+        assert np.array_equal(got, want)
+
+
 class TestHashProperties:
     @given(st.lists(st.text(alphabet="abcxyz", min_size=1, max_size=8), min_size=1, max_size=20))
     @settings(max_examples=40, deadline=None)
