@@ -54,16 +54,25 @@ def md5_u64_array(strings) -> np.ndarray:
     return out
 
 
+_U = np.uint64
+
+
 def splitmix64(x: np.ndarray | int):
     """Vectorized splitmix64 finalizer — cheap avalanche for integer keys.
-    uint64 multiplication wraps mod 2^64 by design (suppress the numpy
-    overflow warning)."""
-    with np.errstate(over="ignore"):
-        x = np.asarray(x, dtype=np.uint64)
-        x = (x + np.uint64(_SM_GAMMA)) & np.uint64(MASK64)
-        x = ((x ^ (x >> np.uint64(30))) * np.uint64(_SM_M1)) & np.uint64(MASK64)
-        x = ((x ^ (x >> np.uint64(27))) * np.uint64(_SM_M2)) & np.uint64(MASK64)
-        return x ^ (x >> np.uint64(31))
+    uint64 multiplication wraps mod 2^64 by design. Inputs always go
+    through ARRAY ops (scalars promoted to 1-element arrays): numpy only
+    emits overflow warnings for scalar uint ops, so no errstate context
+    is needed — a per-call context manager costs more than the hash
+    itself on small arrays."""
+    arr = np.asarray(x, dtype=np.uint64)
+    scalar = arr.ndim == 0
+    if scalar:
+        arr = arr.reshape(1)
+    arr = (arr + _U(_SM_GAMMA)) & _U(MASK64)
+    arr = ((arr ^ (arr >> _U(30))) * _U(_SM_M1)) & _U(MASK64)
+    arr = ((arr ^ (arr >> _U(27))) * _U(_SM_M2)) & _U(MASK64)
+    arr = arr ^ (arr >> _U(31))
+    return arr[0] if scalar else arr
 
 
 def hash64_array(strings, seed: int = 0) -> np.ndarray:

@@ -94,12 +94,32 @@ def normalize_batch(batch: pa.Table, idf_ref=None) -> pa.Table:
     raw text/timestamp columns are dropped."""
     idf = get_broadcast(idf_ref)
     texts = batch["text_extracted"].to_pylist()
+    # hash each DISTINCT token once per batch (dictionary encoding):
+    # pages of one entity are near-duplicates, so the distinct token set
+    # is ~an order of magnitude smaller than the token stream and the
+    # blake2b loop drops accordingly
+    doc_toks = [tokenize(t) for t in texts]
+    flat = pa.array(
+        [w for toks in doc_toks for w in toks], pa.string()
+    ).dictionary_encode()
+    dict_hashes = (
+        hash64_array(flat.dictionary.to_pylist(), seed=0x70)
+        if len(flat)
+        else np.empty(0, np.uint64)
+    )
+    flat_th = (
+        dict_hashes[np.asarray(flat.indices)]
+        if len(flat)
+        else np.empty(0, np.uint64)
+    )
+    doc_off = np.concatenate(
+        [[0], np.cumsum([len(t) for t in doc_toks])]
+    ).astype(np.int64)
+
     tok_hashes, sh_hashes, simhashes, bands = [], [], [], []
     tfidf_idx, tfidf_w = [], []
-    for t in texts:
-        toks = tokenize(t)
-        # one blake2b pass per token; simhash + shingles derive from it
-        th = hash64_array(toks, seed=0x70) if toks else np.empty(0, np.uint64)
+    for i, t in enumerate(texts):
+        th = flat_th[doc_off[i] : doc_off[i + 1]]
         tok_hashes.append(np.unique((th >> np.uint64(32)).astype(np.uint32)))
         sh_hashes.append(
             np.unique(
