@@ -137,15 +137,11 @@ def run_scaling() -> dict:
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
             GRAFT_ER_ONLY="1",
-            # 200k pages: enough parallel work that the 32-cpu leg is not
-            # fixed-overhead-bound (at 100k pages the 8->32 leg measures
-            # scheduler floors, not the engine)
             # 400k pages: enough parallel work per leg that fixed floors
             # (scheduling, exchange setup, driver CC) do not dominate the
             # wide-cpu legs
             GRAFT_ER_REPEAT=os.environ.get("GRAFT_SCALING_REPEAT", "32"),
-            # min-of-3 per leg: single-trial jitter on this box is ±40%
-            GRAFT_ER_TRIALS=os.environ.get("GRAFT_SCALING_TRIALS", "3"),
+            GRAFT_ER_TRIALS="1",
         )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
@@ -161,9 +157,20 @@ def run_scaling() -> dict:
     # per-core throughput as all 32 cores engage (pure-CPU burn control:
     # 0.80 ceiling for 8->32 vs 0.85 for 4->16), so the engine's own
     # efficiency is best read from the 4->16 leg.
-    def leg(lo: int, hi: int) -> dict:
-        r_lo = run_at(lo)
-        r_hi = run_at(hi)
+    #
+    # Trials are INTERLEAVED across the leg's two cpu counts (lo, hi, lo,
+    # hi, ...) and each side takes its min: this box's throughput drifts
+    # ±40% over tens of minutes, so back-to-back whole legs would compare
+    # different machine states.
+    def leg(lo: int, hi: int, rounds: int | None = None) -> dict:
+        rounds = rounds or int(os.environ.get("GRAFT_SCALING_TRIALS", "3"))
+        best: dict[int, dict] = {}
+        for _ in range(rounds):
+            for ncpu in (lo, hi):
+                r = run_at(ncpu)
+                if ncpu not in best or r["value"] < best[ncpu]["value"]:
+                    best[ncpu] = r
+        r_lo, r_hi = best[lo], best[hi]
         t_lo, t_hi = r_lo["value"], r_hi["value"]
         return {
             "cpus_lo": lo,

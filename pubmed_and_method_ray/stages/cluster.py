@@ -18,6 +18,7 @@ and the distributed path is what a 256-node run would use.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 
 from ..rayutil import shuffle_partitions
@@ -45,6 +46,39 @@ def _union_find_clusters(edge_iter):
             else:
                 parent[ru] = rv
     return {x: find(x) for x in parent}
+
+
+def _union_find_arrays(u1: np.ndarray, u2: np.ndarray):
+    """Vectorized-friendly union-find over edge arrays: urls factorize to
+    SORTED integer codes (so min code == lexicographically min url), the
+    union loop runs on ints with path halving, and full compression is
+    log-round pointer jumping — the only O(edges) Python loop is the
+    union pass itself. Returns (sorted urls, per-url min-url label)."""
+    all_urls, codes = np.unique(np.concatenate([u1, u2]), return_inverse=True)
+    c1 = codes[: len(u1)]
+    c2 = codes[len(u1) :]
+    parent = np.arange(len(all_urls), dtype=np.int64)
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]  # path halving
+            x = parent[x]
+        return x
+
+    for a, b in zip(c1.tolist(), c2.tolist()):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if ra < rb:  # smaller code (= smaller url) wins as root
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    # full compression: vectorized pointer jumping to the fixpoint
+    while True:
+        nxt = parent[parent]
+        if np.array_equal(nxt, parent):
+            break
+        parent = nxt
+    return all_urls, all_urls[parent]
 
 
 def connected_components_driver(edges_ds) -> dict[str, str]:
@@ -178,36 +212,66 @@ def assign_clusters(
     any match edge become singleton clusters (cluster_id = own url)."""
     import ray
 
+    import numpy as _np
+
     collected: list | None = None
     if method == "auto":
-        # single streaming pass: collect edges up to the driver budget;
-        # fall back to the distributed path only if the budget overflows
+        # single streaming pass: collect edge batches up to the driver
+        # budget (numpy arrays, no per-tuple Python objects); fall back
+        # to the distributed path only if the budget overflows
         collected = []
+        n_edges = 0
         for b in edges_ds.iter_batches(batch_format="pyarrow", batch_size=65536):
-            collected.extend(zip(b["url_1"].to_pylist(), b["url_2"].to_pylist()))
-            if len(collected) > driver_max_edges:
+            collected.append(
+                (
+                    _np.asarray(b["url_1"].to_pylist(), dtype=object),
+                    _np.asarray(b["url_2"].to_pylist(), dtype=object),
+                )
+            )
+            n_edges += b.num_rows
+            if n_edges > driver_max_edges:
                 collected = None
                 break
         method = "driver" if collected is not None else "distributed"
 
     if method == "driver":
         if collected is not None:
-            mapping = _as_ref(_union_find_clusters(collected))
+            u1 = (
+                _np.concatenate([c[0] for c in collected])
+                if collected
+                else _np.empty(0, dtype=object)
+            )
+            u2 = (
+                _np.concatenate([c[1] for c in collected])
+                if collected
+                else _np.empty(0, dtype=object)
+            )
         else:
-            mapping = _as_ref(connected_components_driver(edges_ds))
+            parts1, parts2 = [], []
+            for b in edges_ds.iter_batches(batch_format="pyarrow", batch_size=65536):
+                parts1.append(_np.asarray(b["url_1"].to_pylist(), dtype=object))
+                parts2.append(_np.asarray(b["url_2"].to_pylist(), dtype=object))
+            u1 = _np.concatenate(parts1) if parts1 else _np.empty(0, dtype=object)
+            u2 = _np.concatenate(parts2) if parts2 else _np.empty(0, dtype=object)
+        urls_sorted, labels_arr = _union_find_arrays(u1, u2)
+        mapping = _as_ref((urls_sorted, labels_arr))
 
         def assign(t: pa.Table, mapping_ref=mapping) -> pa.Table:
             # task-based (not an actor pool): runs on every CPU with no
-            # actor spin-up; the mapping fetches once per worker process
-            # via the broadcast cache
+            # actor spin-up; the (urls, labels) arrays fetch once per
+            # worker via the broadcast cache, and the lookup is a
+            # C-level hash indexer, not a per-row Python dict get
+            import pandas as pd
+
             from .mention_prep import get_broadcast
 
-            m = get_broadcast(mapping_ref)
-            urls = t["url"].to_pylist()
-            cids = [m.get(u, u) for u in urls]
+            urls_s, labels = get_broadcast(mapping_ref)
+            batch_urls = _np.asarray(t["url"].to_pylist(), dtype=object)
+            idx = pd.Index(urls_s).get_indexer(batch_urls)
+            cids = _np.where(idx >= 0, labels[_np.maximum(idx, 0)], batch_urls)
             return pa.Table.from_pydict(
                 {
-                    "url": pa.array(urls, pa.string()),
+                    "url": pa.array(batch_urls, pa.string()),
                     "cluster_id": pa.array(cids, pa.string()),
                 }
             )
