@@ -107,6 +107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
         "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
         "dedup_simhash": dedup.dedup_simhash,
+        "dedup_canonical_docs": dedup.dedup_canonical_docs,
         "dedup_embedding_cosine": dedup.dedup_embedding_cosine,
         # -- similarity search --------------------------------------------
         "ann_topk": similarity.ann_topk,
@@ -348,6 +349,23 @@ def oracle_sql() -> dict[str, str]:
             "WHERE raw >= 0.3"
         ),
         "dedup_minhash_lsh": _minhash_lsh_oracle(),
+        # transitive closure of the verified minhash pairs via recursive
+        # CTE; canonical = min doc_id reachable in the match graph
+        "dedup_canonical_docs": (
+            "WITH RECURSIVE mp AS ("
+            + _minhash_lsh_oracle()
+            + "), e AS (SELECT doc_id1 AS a, doc_id2 AS b FROM mp "
+            "UNION SELECT doc_id2, doc_id1 FROM mp), "
+            "reach(a, b) AS (SELECT a, a FROM (SELECT DISTINCT a FROM e) "
+            "UNION SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a), "
+            "lab AS (SELECT a AS doc_id, MIN(b) AS canonical_id "
+            "FROM reach GROUP BY a) "
+            "SELECT d.doc_id AS doc_id, "
+            "COALESCE(lab.canonical_id, d.doc_id) AS canonical_id, "
+            "CAST(CASE WHEN COALESCE(lab.canonical_id, d.doc_id) = d.doc_id "
+            "THEN 1 ELSE 0 END AS TINYINT) AS is_canonical "
+            "FROM documents d LEFT JOIN lab ON d.doc_id = lab.doc_id"
+        ),
         # 64-bit SimHash recomputed in SQL: per-token md5_number_upper
         # (== functions.hashing.md5_u64), ±1 votes per bit over the token
         # multiset, bit set iff vote sum > 0.

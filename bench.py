@@ -163,7 +163,7 @@ def run_scaling() -> dict:
     # ±40% over tens of minutes, so back-to-back whole legs would compare
     # different machine states.
     def leg(lo: int, hi: int, rounds: int | None = None) -> dict:
-        rounds = rounds or int(os.environ.get("GRAFT_SCALING_TRIALS", "3"))
+        rounds = rounds or int(os.environ.get("GRAFT_SCALING_TRIALS", "4"))
         best: dict[int, dict] = {}
         for _ in range(rounds):
             for ncpu in (lo, hi):

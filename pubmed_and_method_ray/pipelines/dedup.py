@@ -337,6 +337,63 @@ def dedup_minhash_lsh(sf_dir: str, threshold: float = 0.8, num_perm: int = 64, n
     )
 
 
+def dedup_canonical_docs(sf_dir: str, threshold: float = 0.8):
+    """The dedup family's END PRODUCT: one canonical doc per near-dup
+    cluster. MinHash-LSH verified pairs (jaccard >= threshold) form
+    edges; connected components pick min doc_id per cluster as the
+    canonical survivor; every doc maps to its canonical
+    (doc_id, canonical_id, is_canonical). Match edges are tiny relative
+    to the corpus, so the vectorized driver union-find applies (the
+    distributed label-propagation in stages/cluster.py is the >memory
+    path); the per-doc mapping assignment is a broadcast hash lookup."""
+    import ray
+
+    import pyarrow.compute as pc
+
+    from ..stages.cluster import _union_find_arrays
+
+    pairs = dedup_minhash_lsh(sf_dir, threshold=threshold).to_pandas()
+    u1 = pairs["doc_id1"].to_numpy()
+    u2 = pairs["doc_id2"].to_numpy()
+    nodes, labels = (
+        _union_find_arrays(u1.astype(object), u2.astype(object))
+        if len(u1)
+        else (np.empty(0, object), np.empty(0, object))
+    )
+    ref = ray.put(
+        (
+            np.asarray(nodes, dtype=np.int64),
+            np.asarray(labels, dtype=np.int64),
+        )
+    )
+
+    def assign(t: pa.Table) -> pa.Table:
+        from ..stages.mention_prep import get_broadcast
+
+        nodes_, labels_ = get_broadcast(ref)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        if len(nodes_):
+            pos = np.searchsorted(nodes_, ids)
+            pos_c = np.minimum(pos, len(nodes_) - 1)
+            hit = nodes_[pos_c] == ids
+            canon = np.where(hit, labels_[pos_c], ids)
+        else:
+            canon = ids
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "canonical_id": pa.array(canon, pa.int64()),
+                "is_canonical": pa.array(
+                    (canon == ids).astype(np.int8), pa.int8()
+                ),
+            }
+        )
+
+    return _read_documents(sf_dir, ["doc_id"]).map_batches(
+        assign, batch_format="pyarrow"
+    )
+
+
 # -- SimHash near-dup ------------------------------------------------------
 
 def dedup_simhash(sf_dir: str):
