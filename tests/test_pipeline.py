@@ -107,6 +107,44 @@ class TestCheckpointResume:
         b = out2["clusters"].to_pandas().sort_values("url").reset_index(drop=True)
         assert (a["cluster_id"] == b["cluster_id"]).all()
 
+    def test_changed_input_invalidates_checkpoints(self, pages, tmp_path_factory):
+        """Same workdir + DIFFERENT input must recompute, not silently
+        reuse stale stages (checkpoint fingerprints fold in the input
+        identity — the checkpoint.py contract)."""
+        import pyarrow as pa
+        import ray.data as rd
+
+        workdir = str(tmp_path_factory.mktemp("ckpt_inv"))
+        half_dir = str(tmp_path_factory.mktemp("pages_half"))
+        full_dir = str(tmp_path_factory.mktemp("pages_full"))
+        full = pages.to_pandas()
+        rd.from_pandas(full.iloc[: len(full) // 2]).write_parquet(half_dir)
+        rd.from_pandas(full).write_parquet(full_dir)
+
+        out1 = run_er_pipeline(
+            rd.read_parquet(half_dir), n_max=256, workdir=workdir, evaluate=False
+        )
+        n1 = out1["clusters"].count()
+        out2 = run_er_pipeline(
+            rd.read_parquet(full_dir), n_max=256, workdir=workdir, evaluate=False
+        )
+        n2 = out2["clusters"].count()
+        assert n1 == len(full) // 2
+        assert n2 == len(full)  # stale mentions NOT reused
+
+    def test_lost_checkpoint_file_recomputes(self, pages, tmp_path_factory):
+        """A manifest-complete stage dir with a missing parquet file must
+        recompute instead of resuming with partial data."""
+        workdir = str(tmp_path_factory.mktemp("ckpt_lost"))
+        run_er_pipeline(pages, n_max=256, workdir=workdir)
+        mdir = os.path.join(workdir, "mentions")
+        man = ckpt.read_manifest(mdir)
+        victim = sorted(man["files"])[0]
+        os.remove(os.path.join(mdir, victim))
+        assert not ckpt.is_complete(mdir, man["fingerprint"])
+        out = run_er_pipeline(pages, n_max=256, workdir=workdir)
+        assert out["clusters"].count() == pages.count()
+
     def test_manifest_lineage_counters(self, pages, tmp_path_factory):
         workdir = str(tmp_path_factory.mktemp("ckpt2"))
         run_er_pipeline(pages, n_max=256, workdir=workdir)
