@@ -116,6 +116,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_norms": similarity.embedding_norms,
         # -- text analysis ------------------------------------------------
         "token_count": text_analysis.token_count,
+        "token_count_bpe": text_analysis.token_count_bpe,
         "quality_score": text_analysis.quality_score,
         "lang_id": text_analysis.lang_id,
         "doc_fingerprint": text_analysis.doc_fingerprint,
@@ -428,6 +429,17 @@ def oracle_sql() -> dict[str, str]:
         ),
         "token_count": (
             "SELECT doc_id, len(str_split(text, ' ')) AS n_tokens FROM documents"
+        ),
+        "token_count_bpe": (
+            "SELECT doc_id, "
+            "len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9]+')) "
+            "AS n_tokens, "
+            "len(regexp_extract_all(text, '[A-Za-z]+')) AS n_word, "
+            "len(regexp_extract_all(text, '[0-9]+')) AS n_num, "
+            "len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9]+')) "
+            "- len(regexp_extract_all(text, '[A-Za-z]+')) "
+            "- len(regexp_extract_all(text, '[0-9]+')) AS n_punct "
+            "FROM documents"
         ),
         "quality_score": (
             "SELECT doc_id, len(toks) AS n_tokens, "

@@ -49,6 +49,49 @@ def token_count(sf_dir: str):
     )
 
 
+# BPE-ish pre-tokenizer pattern (GPT-2-style classes, RE2-safe so the
+# DuckDB oracle's regexp_extract_all matches Python's re exactly:
+# no lookahead, no backrefs): letter runs | digit runs | punct runs
+BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]+"
+
+
+def token_count_bpe(sf_dir: str):
+    """(doc_id, n_tokens, n_word, n_num, n_punct): BPE-ish regex token
+    counts — the subword-tokenizer-budget estimator of a training-data
+    pipeline (vs the whitespace count in token_count). One compiled
+    regex, vectorizable per batch."""
+    import re
+
+    pat = re.compile(BPE_PATTERN)
+    wordp = re.compile(r"[A-Za-z]+")
+    nump = re.compile(r"[0-9]+")
+
+    def f(t: pa.Table) -> pa.Table:
+        n_all, n_w, n_n, n_p = [], [], [], []
+        for x in t["text"].to_pylist():
+            s = x or ""
+            total = len(pat.findall(s))
+            w = len(wordp.findall(s))
+            d = len(nump.findall(s))
+            n_all.append(total)
+            n_w.append(w)
+            n_n.append(d)
+            n_p.append(total - w - d)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": pa.array(n_all, pa.int64()),
+                "n_word": pa.array(n_w, pa.int64()),
+                "n_num": pa.array(n_n, pa.int64()),
+                "n_punct": pa.array(n_p, pa.int64()),
+            }
+        )
+
+    return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
 def quality_score(sf_dir: str):
     """(doc_id, n_tokens, stopword_count, stop_ratio): the reference's
     ratio-style quality flags (SURVEY.md M15 analog) as one vectorizable
