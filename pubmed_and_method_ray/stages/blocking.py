@@ -46,7 +46,6 @@ from ..functions.hashing import hash64_array, splitmix64, stable_hash64
 from ..rayutil import shuffle_partitions
 from ..functions.simhash import DEFAULT_BANDS as N_BANDS
 
-_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
 
 
 def _host_hashes(batch: pa.Table) -> np.ndarray:
