@@ -239,18 +239,29 @@ class _MinhashEmitter:
         from ..functions.textkernels import token_shingles
 
         rows = self.num_perm // self.n_bands
+        # md5-based gram hashes (== DuckDB md5_number_upper) computed once
+        # per DISTINCT gram in the batch (near-dup docs share most
+        # shingles); band keys are literal signature values so the whole
+        # LSH construction is reproducible by the splitmix64-in-SQL oracle
+        doc_grams = [
+            token_shingles((x or "").lower().split(" "), self.shingle_k)
+            for x in t["text"].to_pylist()
+        ]
+        uniq, inv = np.unique(
+            np.asarray(
+                [g for gs in doc_grams for g in gs], dtype=object
+            ),
+            return_inverse=True,
+        ) if any(doc_grams) else (np.empty(0, object), np.empty(0, np.int64))
+        uniq_h = md5_u64_array(list(uniq)) if len(uniq) else np.empty(0, np.uint64)
+        offs = np.concatenate([[0], np.cumsum([len(g) for g in doc_grams])]).astype(
+            np.int64
+        )
+
         keys, ids, shs = [], [], []
-        for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-            tokens = (text or "").lower().split(" ")
-            grams = token_shingles(tokens, self.shingle_k)
-            # md5-based gram hashes (== DuckDB md5_number_upper) + literal
-            # signature-value band keys: the whole LSH construction is
-            # reproducible by the splitmix64-in-SQL oracle
-            sh = (
-                np.unique(md5_u64_array(grams))
-                if grams
-                else np.empty(0, np.uint64)
-            )
+        for i, doc_id in enumerate(t["doc_id"].to_pylist()):
+            gh = uniq_h[inv[offs[i] : offs[i + 1]]]
+            sh = np.unique(gh) if len(gh) else np.empty(0, np.uint64)
             sig = minhash_from_hashes(sh, self.num_perm)
             for b in range(self.n_bands):
                 band = sig[b * rows : (b + 1) * rows]
