@@ -86,6 +86,88 @@ def _list_view(col) -> tuple[np.ndarray, np.ndarray]:
     return off, vals
 
 
+def gather_list_rows(off: np.ndarray, vals: np.ndarray, rows: np.ndarray):
+    """Concatenated values of list rows ``rows`` plus per-row lengths —
+    the flat gather that feeds the vectorized multi-pair kernels below.
+    One np.repeat + one arange; no per-row Python."""
+    rows = np.asarray(rows, dtype=np.int64)
+    lens = (off[rows + 1] - off[rows]).astype(np.int64)
+    total = int(lens.sum())
+    if total == 0:
+        return vals[:0], lens
+    starts = off[rows].astype(np.int64)
+    cum = np.cumsum(lens) - lens
+    idx = np.repeat(starts - cum, lens) + np.arange(total, dtype=np.int64)
+    return vals[idx], lens
+
+
+def _pairwise_intersect_counts(fa, la, fb, lb) -> np.ndarray:
+    """|A_i ∩ B_i| for ALL pairs at once: tag each element with its pair
+    id, lexsort (pair, value), count consecutive duplicates per pair.
+    Within a side values are unique, so a duplicate can only be a
+    cross-side hit. One O(N log N) lexsort replaces the per-pair
+    searchsorted loop (the round-2 headline hot spot)."""
+    n = len(la)
+    pid = np.concatenate(
+        [np.repeat(np.arange(n, dtype=np.int64), la),
+         np.repeat(np.arange(n, dtype=np.int64), lb)]
+    )
+    vv = np.concatenate([fa, fb])
+    if not len(vv):
+        return np.zeros(n, dtype=np.int64)
+    order = np.lexsort((vv, pid))
+    pid_s = pid[order]
+    vv_s = vv[order]
+    dup = (pid_s[1:] == pid_s[:-1]) & (vv_s[1:] == vv_s[:-1])
+    return np.bincount(pid_s[1:][dup], minlength=n)
+
+
+def pairwise_jaccard(off_a, vals_a, rows_a, off_b, vals_b, rows_b) -> np.ndarray:
+    """Vectorized set-jaccard for n (rows_a[i], rows_b[i]) pairs of
+    SORTED-UNIQUE list rows. Empty-vs-empty pairs score 0.0 (matching
+    _jaccard_u64 / string_utils.py:99-109 semantics)."""
+    fa, la = gather_list_rows(off_a, vals_a, rows_a)
+    fb, lb = gather_list_rows(off_b, vals_b, rows_b)
+    inter = _pairwise_intersect_counts(fa, la, fb, lb)
+    union = la + lb - inter
+    return np.divide(
+        inter.astype(np.float64),
+        union,
+        out=np.zeros(len(la), dtype=np.float64),
+        where=union > 0,
+    )
+
+
+def pairwise_sparse_dot(
+    off_i_a, idx_a, off_w_a, w_a, rows_a,
+    off_i_b, idx_b, off_w_b, w_b, rows_b,
+) -> np.ndarray:
+    """Vectorized sparse dot for n pairs of (sorted-unique index, weight)
+    list rows: matched indices become consecutive duplicates after the
+    (pair, index) lexsort; their weight products bincount-sum per pair.
+    Accumulation order is ascending index — same order as the scalar
+    _sparse_cos merge."""
+    fia, la = gather_list_rows(off_i_a, idx_a, rows_a)
+    fwa, _ = gather_list_rows(off_w_a, w_a, rows_a)
+    fib, lb = gather_list_rows(off_i_b, idx_b, rows_b)
+    fwb, _ = gather_list_rows(off_w_b, w_b, rows_b)
+    n = len(la)
+    pid = np.concatenate(
+        [np.repeat(np.arange(n, dtype=np.int64), la),
+         np.repeat(np.arange(n, dtype=np.int64), lb)]
+    )
+    ii = np.concatenate([fia, fib])
+    ww = np.concatenate([fwa, fwb]).astype(np.float64)
+    if not len(ii):
+        return np.zeros(n, dtype=np.float64)
+    order = np.lexsort((ii, pid))
+    pid_s, ii_s, ww_s = pid[order], ii[order], ww[order]
+    dup = (pid_s[1:] == pid_s[:-1]) & (ii_s[1:] == ii_s[:-1])
+    return np.bincount(
+        pid_s[1:][dup], weights=ww_s[:-1][dup] * ww_s[1:][dup], minlength=n
+    )
+
+
 def _sparse_cos(i1, w1, i2, w2) -> float:
     """Dot of two sparse vectors with SORTED unique index arrays."""
     if len(i1) == 0 or len(i2) == 0:
@@ -157,20 +239,15 @@ def features_from_indices(
     jw_path = path_feats[:, 0]
     lev_path = path_feats[:, 1]
 
-    jac_tok = np.empty(n)
-    jac_sh = np.empty(n)
-    cos = np.zeros(n)
-    for k in range(n):
-        a, b = li[k], ri[k]
-        jac_tok[k] = _jaccard_u64(tv[to[a] : to[a + 1]], tv[to[b] : to[b + 1]])
-        jac_sh[k] = _jaccard_u64(sv[so[a] : so[a + 1]], sv[so[b] : so[b + 1]])
-        if has_tfidf:
-            cos[k] = _sparse_cos(
-                iv[io_[a] : io_[a + 1]],
-                wv[wo[a] : wo[a + 1]],
-                iv[io_[b] : io_[b + 1]],
-                wv[wo[b] : wo[b + 1]],
-            )
+    # set-intersection features for ALL pairs in one vectorized pass
+    # (flat gather + lexsort kernels — no per-pair Python)
+    jac_tok = pairwise_jaccard(to, tv, li, to, tv, ri)
+    jac_sh = pairwise_jaccard(so, sv, li, so, sv, ri)
+    cos = (
+        pairwise_sparse_dot(io_, iv, wo, wv, li, io_, iv, wo, wv, ri)
+        if has_tfidf
+        else np.zeros(n)
+    )
     same_lang = (langs[li] == langs[ri]).astype(np.float64)
 
     days = np.abs(ts[li] - ts[ri]) / 86_400_000_000.0
@@ -233,34 +310,17 @@ class PairFeatures:
         to2, tv2 = _list_view(batch["tok_hashes_2"])
         so1, sv1 = _list_view(batch["sh_hashes_1"])
         so2, sv2 = _list_view(batch["sh_hashes_2"])
-        jac_tok = np.array(
-            [
-                _jaccard_u64(tv1[to1[i] : to1[i + 1]], tv2[to2[i] : to2[i + 1]])
-                for i in range(n)
-            ]
-        )
-        jac_sh = np.array(
-            [
-                _jaccard_u64(sv1[so1[i] : so1[i + 1]], sv2[so2[i] : so2[i + 1]])
-                for i in range(n)
-            ]
-        )
+        rows = np.arange(n, dtype=np.int64)
+        jac_tok = pairwise_jaccard(to1, tv1, rows, to2, tv2, rows)
+        jac_sh = pairwise_jaccard(so1, sv1, rows, so2, sv2, rows)
 
         if "tfidf_idx_1" in batch.column_names:
             io1, iv1 = _list_view(batch["tfidf_idx_1"])
             wo1, wv1 = _list_view(batch["tfidf_w_1"])
             io2, iv2 = _list_view(batch["tfidf_idx_2"])
             wo2, wv2 = _list_view(batch["tfidf_w_2"])
-            cos = np.array(
-                [
-                    _sparse_cos(
-                        iv1[io1[i] : io1[i + 1]],
-                        wv1[wo1[i] : wo1[i + 1]],
-                        iv2[io2[i] : io2[i + 1]],
-                        wv2[wo2[i] : wo2[i + 1]],
-                    )
-                    for i in range(n)
-                ]
+            cos = pairwise_sparse_dot(
+                io1, iv1, wo1, wv1, rows, io2, iv2, wo2, wv2, rows
             )
         else:
             cos = np.zeros(n)

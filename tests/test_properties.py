@@ -133,3 +133,101 @@ class TestFeatureKernelProperties:
         a = np.unique(np.array(xs, dtype=np.uint64))
         b = np.unique(np.array(ys, dtype=np.uint64))
         assert _intersect_count_sorted(a, b) == len(set(a.tolist()) & set(b.tolist()))
+
+
+class TestVectorizedPairKernels:
+    """The flat lexsort multi-pair kernels must agree with the scalar
+    per-pair kernels on arbitrary list-column layouts (incl. empties)."""
+
+    @given(
+        st.lists(
+            st.lists(st.integers(0, 2**20), max_size=12), min_size=1, max_size=10
+        ),
+        st.data(),
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_pairwise_jaccard_matches_scalar(self, rows, data):
+        import pyarrow as pa
+
+        from pubmed_and_method_ray.stages.features import (
+            _jaccard_u64,
+            _list_view,
+            pairwise_jaccard,
+        )
+
+        sets = [np.unique(np.array(r, dtype=np.uint64)) for r in rows]
+        col = pa.array([s.tolist() for s in sets], pa.list_(pa.uint64()))
+        off, vals = _list_view(pa.table({"x": col})["x"])
+        n_pairs = data.draw(st.integers(0, 12))
+        li = np.array(
+            [data.draw(st.integers(0, len(sets) - 1)) for _ in range(n_pairs)],
+            dtype=np.int64,
+        )
+        ri = np.array(
+            [data.draw(st.integers(0, len(sets) - 1)) for _ in range(n_pairs)],
+            dtype=np.int64,
+        )
+        got = pairwise_jaccard(off, vals, li, off, vals, ri)
+        want = np.array([_jaccard_u64(sets[a], sets[b]) for a, b in zip(li, ri)])
+        assert np.allclose(got, want)
+
+    @given(
+        st.lists(
+            st.lists(
+                st.tuples(st.integers(0, 50), st.floats(-2, 2, width=32)),
+                max_size=8,
+            ),
+            min_size=1,
+            max_size=8,
+        ),
+        st.data(),
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_pairwise_sparse_dot_matches_scalar(self, rows, data):
+        import pyarrow as pa
+
+        from pubmed_and_method_ray.stages.features import (
+            _list_view,
+            _sparse_cos,
+            pairwise_sparse_dot,
+        )
+
+        idxs, ws = [], []
+        for r in rows:
+            d = dict(r)  # unique indices
+            ii = np.array(sorted(d), dtype=np.int64)
+            idxs.append(ii)
+            ws.append(np.array([d[i] for i in ii], dtype=np.float64))
+        icol = pa.array([x.tolist() for x in idxs], pa.list_(pa.int64()))
+        wcol = pa.array([x.tolist() for x in ws], pa.list_(pa.float64()))
+        io, iv = _list_view(pa.table({"x": icol})["x"])
+        wo, wv = _list_view(pa.table({"x": wcol})["x"])
+        n_pairs = data.draw(st.integers(0, 10))
+        li = np.array(
+            [data.draw(st.integers(0, len(rows) - 1)) for _ in range(n_pairs)],
+            dtype=np.int64,
+        )
+        ri = np.array(
+            [data.draw(st.integers(0, len(rows) - 1)) for _ in range(n_pairs)],
+            dtype=np.int64,
+        )
+        got = pairwise_sparse_dot(io, iv, wo, wv, li, io, iv, wo, wv, ri)
+        want = np.array(
+            [
+                _sparse_cos(idxs[a], ws[a], idxs[b], ws[b])
+                for a, b in zip(li, ri)
+            ]
+        )
+        assert np.allclose(got, want)
+
+    def test_gather_on_sliced_list_array(self):
+        import pyarrow as pa
+
+        from pubmed_and_method_ray.stages.features import _list_view, gather_list_rows
+
+        col = pa.array([[1, 2], [3], [], [4, 5, 6]], pa.list_(pa.uint64()))
+        sliced = col.slice(1)  # nonzero base offset
+        off, vals = _list_view(pa.table({"x": sliced})["x"])
+        flat, lens = gather_list_rows(off, vals, np.array([0, 2], dtype=np.int64))
+        assert flat.tolist() == [3, 4, 5, 6]
+        assert lens.tolist() == [1, 3]
