@@ -74,7 +74,6 @@ def pair_jaccard_docs(sf_dir: str, threshold: float | None = None, n_max: int = 
     from ray.data.aggregate import Count
 
     from ..functions.hashing import hash64_array
-    from ..stages.features import _intersect_count_sorted
 
     ds = _read_documents(sf_dir, columns=["doc_id", "text", "lang", "source"])
 
@@ -92,36 +91,48 @@ def pair_jaccard_docs(sf_dir: str, threshold: float | None = None, n_max: int = 
     sizes_ref = ray.put(sizes)
 
     def replicate(t: pa.Table) -> pa.Table:
+        """Vectorized triangle-join salt replication: each doc goes to
+        every salt-group pair containing its salt. Block identity rides
+        as SEPARATE (lang, source, sa, sb) exchange-key columns — no
+        delimiter-joined group string, so values containing '|' cannot
+        collide distinct blocks."""
+        from ..stages.features import gather_list_rows
         from ..stages.mention_prep import get_broadcast
 
         sz = get_broadcast(sizes_ref)
-        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        ids = np.asarray(t["doc_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
         langs = t["lang"].to_pylist()
         srcs = t["source"].to_pylist()
         texts = t["text"].to_pylist()
-        grp, part, out_idx, toks = [], [], [], []
-        for i, (d, l, s, x) in enumerate(zip(ids, langs, srcs, texts)):
-            th = np.unique(hash64_array((x or "").lower().split(" "), seed=0x7A))
-            toks.append(th)
-            S = max(1, math.ceil(sz[(l, s)] / n_max))
-            p = int(d) % S
-            for q in range(S):
-                grp.append(f"{l}|{s}|{min(p, q)}_{max(p, q)}")
-                part.append(p)
-                out_idx.append(i)
-        flat = (
-            np.concatenate([toks[i] for i in out_idx])
-            if out_idx
-            else np.empty(0, np.uint64)
+        n = len(ids)
+        toks = [
+            np.unique(hash64_array((x or "").lower().split(" "), seed=0x7A))
+            for x in texts
+        ]
+        S = np.fromiter(
+            (max(1, math.ceil(sz[(l, s)] / n_max)) for l, s in zip(langs, srcs)),
+            dtype=np.int64,
+            count=n,
         )
-        lens = np.array([len(toks[i]) for i in out_idx], dtype=np.int32)
-        offsets = np.concatenate([[0], np.cumsum(lens)]).astype(np.int32)
-        tl = pa.ListArray.from_arrays(pa.array(offsets), pa.array(flat, pa.uint64()))
+        p = ids % S
+        total = int(S.sum())
+        out_idx = np.repeat(np.arange(n, dtype=np.int64), S)
+        q = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(S) - S, S)
+        pe = p[out_idx]
+        lens = np.fromiter((len(x) for x in toks), dtype=np.int64, count=n)
+        base_off = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
+        flat = np.concatenate(toks) if n else np.empty(0, np.uint64)
+        rep_flat, rep_lens = gather_list_rows(base_off, flat, out_idx)
+        offsets = np.concatenate([[0], np.cumsum(rep_lens)]).astype(np.int64)
+        tl = pa.LargeListArray.from_arrays(
+            pa.array(offsets, pa.int64()), pa.array(rep_flat, pa.uint64())
+        ).cast(pa.list_(pa.uint64()))
         take = pa.array(out_idx, pa.int64())
         return pa.Table.from_pydict(
             {
-                "grp": pa.array(grp, pa.string()),
-                "part": pa.array(part, pa.int32()),
+                "sa": pa.array(np.minimum(pe, q).astype(np.int32), pa.int32()),
+                "sb": pa.array(np.maximum(pe, q).astype(np.int32), pa.int32()),
+                "part": pa.array(pe.astype(np.int32), pa.int32()),
                 "doc_id": t["doc_id"].take(take),
                 "lang": t["lang"].take(take),
                 "source": t["source"].take(take),
@@ -130,6 +141,11 @@ def pair_jaccard_docs(sf_dir: str, threshold: float | None = None, n_max: int = 
         )
 
     def group_pairs(t: pa.Table) -> pa.Table:
+        """Segment by (lang-code, source-code, sa, sb) via lexsort, build
+        ALL pair index arrays (triu within / repeat-tile cross), then one
+        vectorized multi-pair jaccard — no per-pair Python."""
+        from ..stages.features import pairwise_jaccard
+
         empty = pa.Table.from_pydict(
             {
                 "doc_id1": pa.array([], pa.int64()),
@@ -142,73 +158,71 @@ def pair_jaccard_docs(sf_dir: str, threshold: float | None = None, n_max: int = 
         if t.num_rows == 0:
             return empty
         t = t.combine_chunks()
-        grp = np.asarray(t["grp"].to_pylist(), dtype=object)
+        lenc = t["lang"].combine_chunks().dictionary_encode()
+        senc = t["source"].combine_chunks().dictionary_encode()
+        cl = np.asarray(lenc.indices, dtype=np.int64)
+        cs = np.asarray(senc.indices, dtype=np.int64)
+        block_code = cl * (int(cs.max()) + 1 if len(cs) else 1) + cs
+        sa = np.asarray(t["sa"].to_numpy(zero_copy_only=False))
+        sb = np.asarray(t["sb"].to_numpy(zero_copy_only=False))
         part = np.asarray(t["part"].to_numpy(zero_copy_only=False))
         ids = np.asarray(t["doc_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
         arr = t["th"].combine_chunks() if isinstance(t["th"], pa.ChunkedArray) else t["th"]
         off = np.asarray(arr.offsets)
         vals = arr.values.to_numpy(zero_copy_only=False)
-        langs = t["lang"].to_pylist()
-        srcs = t["source"].to_pylist()
 
-        o1, o2, ol, os_, oj = [], [], [], [], []
+        order = np.lexsort((sb, sa, block_code))
+        bc_s, a_s, b_s = block_code[order], sa[order], sb[order]
+        change = np.nonzero(
+            (bc_s[1:] != bc_s[:-1]) | (a_s[1:] != a_s[:-1]) | (b_s[1:] != b_s[:-1])
+        )[0] + 1
+        bounds = np.concatenate([[0], change, [len(order)]])
 
-        def emit(a_rows, b_rows, within: bool):
-            # a_rows/b_rows: global row indices, each side sorted by id
-            for xi, gi in enumerate(a_rows):
-                sa = vals[off[gi] : off[gi + 1]]
-                start = xi + 1 if within else 0
-                for gj in b_rows[start:]:
-                    sb = vals[off[gj] : off[gj + 1]]
-                    inter = _intersect_count_sorted(sa, sb)
-                    union = len(sa) + len(sb) - inter
-                    j = inter / union if union else 0.0
-                    if threshold is None or j >= threshold:
-                        lo, hi = (
-                            (ids[gi], ids[gj])
-                            if ids[gi] < ids[gj]
-                            else (ids[gj], ids[gi])
-                        )
-                        o1.append(lo)
-                        o2.append(hi)
-                        ol.append(langs[gi])
-                        os_.append(srcs[gi])
-                        oj.append(j)
-
-        order = np.argsort(grp, kind="stable")
-        sgrp = grp[order]
-        bounds = np.concatenate(
-            [[0], np.nonzero(sgrp[1:] != sgrp[:-1])[0] + 1, [len(sgrp)]]
-        )
+        gis, gjs = [], []
         for s0, s1 in zip(bounds[:-1], bounds[1:]):
             seg = order[s0:s1]
-            key = sgrp[s0]
-            a_id, b_id = (int(x) for x in key.rsplit("|", 1)[1].split("_"))
+            a_id, b_id = int(a_s[s0]), int(b_s[s0])
             if a_id == b_id:
                 rows = seg[part[seg] == a_id]
                 rows = rows[np.argsort(ids[rows], kind="stable")]
-                emit(rows, rows, within=True)
+                if len(rows) > 1:
+                    iu, ju = np.triu_indices(len(rows), k=1)
+                    gis.append(rows[iu])
+                    gjs.append(rows[ju])
             else:
                 ra = seg[part[seg] == a_id]
                 rb = seg[part[seg] == b_id]
-                ra = ra[np.argsort(ids[ra], kind="stable")]
-                rb = rb[np.argsort(ids[rb], kind="stable")]
-                emit(ra, rb, within=False)
-        if not o1:
+                if len(ra) and len(rb):
+                    gis.append(np.repeat(ra, len(rb)))
+                    gjs.append(np.tile(rb, len(ra)))
+        if not gis:
             return empty
+        gi = np.concatenate(gis)
+        gj = np.concatenate(gjs)
+        jac = pairwise_jaccard(off, vals, gi, off, vals, gj)
+        if threshold is not None:
+            keep = jac >= threshold
+            gi, gj, jac = gi[keep], gj[keep], jac[keep]
+        if not len(gi):
+            return empty
+        lo = np.minimum(ids[gi], ids[gj])
+        hi = np.maximum(ids[gi], ids[gj])
+        take = pa.array(gi, pa.int64())
         return pa.Table.from_pydict(
             {
-                "doc_id1": pa.array(o1, pa.int64()),
-                "doc_id2": pa.array(o2, pa.int64()),
-                "lang": pa.array(ol, pa.string()),
-                "source": pa.array(os_, pa.string()),
-                "jaccard": pa.array(oj, pa.float64()),
+                "doc_id1": pa.array(lo, pa.int64()),
+                "doc_id2": pa.array(hi, pa.int64()),
+                "lang": t["lang"].take(take),
+                "source": t["source"].take(take),
+                "jaccard": pa.array(jac, pa.float64()),
             }
         )
 
     return (
         ds.map_batches(replicate, batch_format="pyarrow")
-        .repartition(num_blocks=shuffle_partitions(), keys=["grp"])
+        .repartition(
+            num_blocks=shuffle_partitions(), keys=["lang", "source", "sa", "sb"]
+        )
         .map_batches(group_pairs, batch_format="pyarrow", batch_size=None)
     )
 
@@ -462,7 +476,14 @@ def dedup_embedding_cosine(sf_dir: str, threshold: float = 0.3, n_parts: int = 8
 
     def replicate(t: pa.Table) -> pa.Table:
         ids = np.asarray(t["vec_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
-        V = np.stack([np.asarray(x, dtype=np.float64) for x in t["embedding"].to_pylist()])
+        emb = t["embedding"]
+        emb = emb.combine_chunks() if isinstance(emb, pa.ChunkedArray) else emb
+        eoff = np.asarray(emb.offsets)
+        evals = emb.values.to_numpy(zero_copy_only=False)
+        edim = int(eoff[1] - eoff[0]) if len(eoff) > 1 else 0
+        # rows are fixed-width and contiguous; slice from the FIRST row's
+        # offset (a sliced chunk has eoff[0] != 0)
+        V = evals[eoff[0] : eoff[-1]].reshape(len(ids), edim).astype(np.float64)
         V = V / np.linalg.norm(V, axis=1, keepdims=True)
         p = (ids % n_parts).astype(np.int64)
         out_ids, out_part, out_grp, out_vecs = [], [], [], []
@@ -505,7 +526,11 @@ def dedup_embedding_cosine(sf_dir: str, threshold: float = 0.3, n_parts: int = 8
         arr = t["v"].combine_chunks() if isinstance(t["v"], pa.ChunkedArray) else t["v"]
         off = np.asarray(arr.offsets)
         dim = off[1] - off[0] if len(off) > 1 else 0
-        V = arr.values.to_numpy(zero_copy_only=False).reshape(len(ids), dim)
+        # slice from off[0] (not 0): a sliced chunk's values buffer keeps
+        # the full child, so reshaping from 0 would misalign every vector
+        V = arr.values.to_numpy(zero_copy_only=False)[off[0] : off[-1]].reshape(
+            len(ids), dim
+        )
         o1, o2, cs = [], [], []
         for g in np.unique(grp):
             m = grp == g
