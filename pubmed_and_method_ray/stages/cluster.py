@@ -91,36 +91,40 @@ def connected_components_driver(edges_ds) -> dict[str, str]:
     return _union_find_clusters(gen())
 
 
-def connected_components_distributed(edges_ds, max_rounds: int = 50):
+def connected_components_distributed(
+    edges_ds,
+    max_rounds: int = 50,
+    edge_cols: tuple[str, str] = ("url_1", "url_2"),
+    node_col: str = "url",
+    label_col: str = "cluster_id",
+):
     """Min-label propagation entirely in Ray Data: each round is one hash
     join (edge messages pick up the source's current label) plus one
     groupby-min — fully vectorized, no per-group Python. O(component
     diameter) rounds; near-dup clusters are dense so this converges in a
-    handful. Returns (url, cluster_id) for every node in an edge."""
+    handful. Works for any orderable node type (url strings, int64 doc
+    ids). Returns (node, label) for every node in an edge."""
     from ray.data.aggregate import Min
 
+    c1, c2 = edge_cols
+
     def to_nodes(t: pa.Table) -> pa.Table:
-        urls = t["url_1"].to_pylist() + t["url_2"].to_pylist()
-        return pa.Table.from_pydict(
-            {"url": pa.array(urls, pa.string()), "cluster_id": pa.array(urls, pa.string())}
-        )
+        a = t.select([c1]).rename_columns([node_col])
+        b = t.select([c2]).rename_columns([node_col])
+        tt = pa.concat_tables([a, b]).combine_chunks()
+        return tt.append_column(label_col, tt[node_col])
 
     labels = (
         edges_ds.map_batches(to_nodes, batch_format="pyarrow")
-        .groupby("url", num_partitions=shuffle_partitions())
-        .aggregate(Min("cluster_id", alias_name="cluster_id"))
+        .groupby(node_col, num_partitions=shuffle_partitions())
+        .aggregate(Min(label_col, alias_name=label_col))
     ).materialize()
 
-    # undirected edges, both directions once: (url=src, nbr=dst)
+    # undirected edges, both directions once: (node=src, nbr=dst)
     def both_dirs(t: pa.Table) -> pa.Table:
-        a = t["url_1"].to_pylist()
-        b = t["url_2"].to_pylist()
-        return pa.Table.from_pydict(
-            {
-                "url": pa.array(a + b, pa.string()),
-                "nbr": pa.array(b + a, pa.string()),
-            }
-        )
+        fwd = pa.Table.from_pydict({node_col: t[c1], "nbr": t[c2]})
+        rev = pa.Table.from_pydict({node_col: t[c2], "nbr": t[c1]})
+        return pa.concat_tables([fwd, rev])
 
     nbrs = edges_ds.map_batches(both_dirs, batch_format="pyarrow").materialize()
     import ray
@@ -128,64 +132,52 @@ def connected_components_distributed(edges_ds, max_rounds: int = 50):
     cpus = int(ray.cluster_resources().get("CPU", 8))
     num_partitions = max(2, min(64, cpus // 2))  # join aggregators are actors
 
-    # '\x7f' sorts after every url char, so Min(old) over (label row:
-    # current label, msg rows: sentinel) recovers the pre-round label
-    SENTINEL = "\x7f"
-
+    # convergence signal: label rows carry old = current label, message
+    # rows carry old = NULL; Min(old, ignore_nulls) recovers the
+    # pre-round label. (A string sentinel would mis-sort for non-ASCII
+    # labels and not exist at all for numeric node ids.)
     def tag_old(t: pa.Table) -> pa.Table:
-        return t.append_column("old", t["cluster_id"])
+        return t.append_column("old", t[label_col])
+
+    def to_msgs(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                node_col: t["nbr"],
+                label_col: t[label_col],
+                "old": pa.nulls(t.num_rows, type=t.schema.field(label_col).type),
+            }
+        )
 
     converged = False
     for _ in range(max_rounds):
         # messages: each edge forwards its source's current label to dst
         msgs = nbrs.join(
-            labels, join_type="inner", on=("url",), num_partitions=num_partitions
-        ).map_batches(
-            lambda t: pa.Table.from_pydict(
-                {
-                    "url": t["nbr"],
-                    "cluster_id": t["cluster_id"],
-                    "old": pa.array([SENTINEL] * t.num_rows, pa.string()),
-                }
-            ),
-            batch_format="pyarrow",
-        )
+            labels, join_type="inner", on=(node_col,), num_partitions=num_partitions
+        ).map_batches(to_msgs, batch_format="pyarrow")
         agg = (
             labels.map_batches(tag_old, batch_format="pyarrow")
             .union(msgs)
-            .groupby("url", num_partitions=shuffle_partitions())
+            .groupby(node_col, num_partitions=shuffle_partitions())
             .aggregate(
-                Min("cluster_id", alias_name="cluster_id"),
+                Min(label_col, alias_name=label_col),
                 Min("old", alias_name="old"),
             )
         ).materialize()
 
         # convergence: DISTRIBUTED changed-label count (per-batch partial
         # sums reduced by ds.sum — no driver-side row scan)
+        def count_changed(t: pa.Table) -> pa.Table:
+            n = pa.compute.sum(
+                pa.compute.cast(
+                    pa.compute.not_equal(t[label_col], t["old"]), pa.int64()
+                )
+            ).as_py()
+            return pa.Table.from_pydict(
+                {"changed": pa.array([int(n or 0)], pa.int64())}
+            )
+
         changed = (
-            agg.map_batches(
-                lambda t: pa.Table.from_pydict(
-                    {
-                        "changed": pa.array(
-                            [
-                                int(
-                                    pa.compute.sum(
-                                        pa.compute.cast(
-                                            pa.compute.not_equal(
-                                                t["cluster_id"], t["old"]
-                                            ),
-                                            pa.int64(),
-                                        )
-                                    ).as_py()
-                                    or 0
-                                )
-                            ],
-                            pa.int64(),
-                        )
-                    }
-                ),
-                batch_format="pyarrow",
-            ).sum("changed")
+            agg.map_batches(count_changed, batch_format="pyarrow").sum("changed")
             or 0
         )
         labels = agg.drop_columns(["old"])

@@ -168,3 +168,44 @@ class TestConnectedComponents:
         dist = connected_components_distributed(edges).to_pandas()
         got = dict(zip(dist["url"], dist["cluster_id"]))
         assert got == drv  # same minimal-url labels
+
+    def test_distributed_non_ascii_labels(self):
+        """Convergence detection must not rely on an ASCII sentinel: labels
+        containing codepoints >= U+0080 previously never converged."""
+        import ray
+        import pyarrow as pa
+
+        from pubmed_and_method_ray.stages.cluster import (
+            connected_components_distributed,
+        )
+
+        # chain of non-ASCII urls: é < ê < ë, plus a disjoint pair
+        t = pa.Table.from_pydict(
+            {
+                "url_1": ["é", "ê", "ü1"],
+                "url_2": ["ê", "ë", "ü2"],
+            }
+        )
+        edges = ray.data.from_arrow(t)
+        out = connected_components_distributed(edges, max_rounds=10).to_pandas()
+        got = dict(zip(out["url"], out["cluster_id"]))
+        assert got == {"é": "é", "ê": "é", "ë": "é", "ü1": "ü1", "ü2": "ü1"}
+
+    def test_distributed_int_node_ids(self):
+        """Generic edge/node columns: int64 doc ids instead of url strings."""
+        import ray
+        import pyarrow as pa
+
+        from pubmed_and_method_ray.stages.cluster import (
+            connected_components_distributed,
+        )
+
+        t = pa.Table.from_pydict(
+            {"a": pa.array([1, 2, 10], pa.int64()), "b": pa.array([2, 3, 11], pa.int64())}
+        )
+        edges = ray.data.from_arrow(t)
+        out = connected_components_distributed(
+            edges, edge_cols=("a", "b"), node_col="doc_id", label_col="root"
+        ).to_pandas()
+        got = dict(zip(out["doc_id"], out["root"]))
+        assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
