@@ -21,7 +21,7 @@ import numpy as np
 import pyarrow as pa
 
 from ..functions.simhash import minhash_signature, simhash64
-from ..rayutil import shuffle_partitions
+from ..rayutil import join_partitions, shuffle_partitions, sized_partitions
 
 
 def _read_documents(sf_dir: str, columns=None):
@@ -234,13 +234,25 @@ def dedup_ngram_jaccard(sf_dir: str, threshold: float = 0.6):
 
 # -- MinHash + LSH near-dup (banding -> bucket groupby -> verify) ----------
 
-class _MinhashEmitter:
-    """Actor: token 3-shingles -> minhash -> (band_key, doc payload) rows.
+class _SketchBander:
+    """Actor: text -> ONE row per doc: (doc_id, sh, bands).
 
-    Shingles, not unigram tokens: corpora with a shared small vocabulary
-    make every doc-pair's TOKEN jaccard high (bucket explosion), while
-    shingle sets are order-sensitive and distinctive — the standard
-    MMDS ch.3 construction."""
+    ``sh``: sorted-unique md5-u64 hashes of the doc's token 3-shingles as
+    raw LE bytes (md5 == DuckDB md5_number_upper; binary because Acero
+    hash joins reject list-typed payloads). ``bands``: the n_bands
+    literal-signature band keys (reproducible by the splitmix64-in-SQL
+    oracle). Shingles, not unigram tokens: corpora with a shared small
+    vocabulary make every doc-pair's TOKEN jaccard high (bucket
+    explosion), while shingle sets are order-sensitive and distinctive —
+    the standard MMDS ch.3 construction.
+
+    Fused sketch+banding so the gram hashing (the expensive kernel,
+    memoized per DISTINCT gram per batch — near-dup docs share most
+    shingles) runs exactly once; neither payload column crosses an
+    exchange — downstream ops explode/select from the materialized
+    parent, and the LSH exchange itself carries only (band_key, doc_id)
+    (the round-2 version shipped each doc's full sketch once per band:
+    16x payload amplification)."""
 
     def __init__(self, num_perm: int = 64, n_bands: int = 16, shingle_k: int = 3):
         self.num_perm = num_perm
@@ -253,133 +265,528 @@ class _MinhashEmitter:
         from ..functions.textkernels import token_shingles
 
         rows = self.num_perm // self.n_bands
-        # md5-based gram hashes (== DuckDB md5_number_upper) computed once
-        # per DISTINCT gram in the batch (near-dup docs share most
-        # shingles); band keys are literal signature values so the whole
-        # LSH construction is reproducible by the splitmix64-in-SQL oracle
         doc_grams = [
             token_shingles((x or "").lower().split(" "), self.shingle_k)
             for x in t["text"].to_pylist()
         ]
         uniq, inv = np.unique(
-            np.asarray(
-                [g for gs in doc_grams for g in gs], dtype=object
-            ),
+            np.asarray([g for gs in doc_grams for g in gs], dtype=object),
             return_inverse=True,
         ) if any(doc_grams) else (np.empty(0, object), np.empty(0, np.int64))
         uniq_h = md5_u64_array(list(uniq)) if len(uniq) else np.empty(0, np.uint64)
         offs = np.concatenate([[0], np.cumsum([len(g) for g in doc_grams])]).astype(
             np.int64
         )
-
-        keys, ids, shs = [], [], []
-        for i, doc_id in enumerate(t["doc_id"].to_pylist()):
+        flat_parts, lens, band_keys = [], [], []
+        for i in range(len(doc_grams)):
             gh = uniq_h[inv[offs[i] : offs[i + 1]]]
             sh = np.unique(gh) if len(gh) else np.empty(0, np.uint64)
+            flat_parts.append(sh)
+            lens.append(len(sh))
             sig = minhash_from_hashes(sh, self.num_perm)
-            for b in range(self.n_bands):
-                band = sig[b * rows : (b + 1) * rows]
-                keys.append(f"b{b}:" + ",".join(str(int(v)) for v in band))
-                ids.append(doc_id)
-                shs.append(sh.tolist())
+            band_keys.append(
+                [
+                    f"b{b}:" + ",".join(str(int(v)) for v in sig[b * rows : (b + 1) * rows])
+                    for b in range(self.n_bands)
+                ]
+            )
+        flat = np.concatenate(flat_parts) if flat_parts else np.empty(0, np.uint64)
+        sh_off = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
         return pa.Table.from_pydict(
             {
-                "band_key": pa.array(keys, pa.string()),
-                "doc_id": pa.array(ids, pa.int64()),
-                "sh": pa.array(shs, pa.list_(pa.uint64())),
+                "doc_id": t["doc_id"],
+                "sh": _u64_rows_to_binary(sh_off, flat),
+                "bands": pa.array(band_keys, pa.list_(pa.string())),
             }
         )
 
 
-def _bucket_pairs(group: pa.Table) -> pa.Table:
-    group = group.combine_chunks()
-    ids = group["doc_id"].to_pylist()
-    arr = group["sh"].combine_chunks() if isinstance(group["sh"], pa.ChunkedArray) else group["sh"]
-    off = np.asarray(arr.offsets)
-    vals = arr.values.to_numpy(zero_copy_only=False)
-    order = np.argsort(np.asarray(ids, dtype=np.int64))
-    id1, id2, jac = [], [], []
-    seen = set()
-    for ai in range(len(order) - 1):
-        a = order[ai]
-        sa = vals[off[a] : off[a + 1]]
-        for bi in range(ai + 1, len(order)):
-            b = order[bi]
-            key = (ids[a], ids[b])
-            if key in seen or ids[a] == ids[b]:
-                continue
-            seen.add(key)
-            sb = vals[off[b] : off[b + 1]]
-            inter = len(np.intersect1d(sa, sb, assume_unique=True))
-            union = len(sa) + len(sb) - inter
-            j = inter / union if union else 0.0
-            id1.append(key[0])
-            id2.append(key[1])
-            jac.append(j)
+def _u64_rows_to_binary(off: np.ndarray, flat: np.ndarray) -> pa.Array:
+    """(row offsets, flat uint64 values) -> large_binary column; row i's
+    payload is flat[off[i]:off[i+1]] as raw LE bytes."""
+    byte_off = (np.asarray(off, dtype=np.int64) * 8)
+    return pa.LargeBinaryArray.from_buffers(
+        pa.large_binary(),
+        len(off) - 1,
+        [None, pa.py_buffer(byte_off.tobytes()), pa.py_buffer(flat.tobytes())],
+    )
+
+
+def _binary_to_u64_rows(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """large_binary column of 8-byte-multiple payloads -> (element
+    offsets, flat uint64 values) for the pairwise searchsorted kernels.
+    Zero-copy over the Arrow buffers; honors array slicing offsets."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    bufs = arr.buffers()
+    byte_off = np.frombuffer(bufs[1], dtype=np.int64)[
+        arr.offset : arr.offset + len(arr) + 1
+    ]
+    vals = np.frombuffer(bufs[2], dtype=np.uint64)
+    return (byte_off // 8).astype(np.int64), vals
+
+
+def _explode_bands(t: pa.Table) -> pa.Table:
+    """(doc_id, sh, bands) -> n_bands (band_key, doc_id) rows per doc —
+    the ONLY columns that enter the LSH exchange."""
+    t = t.combine_chunks()
+    arr = t["bands"]
+    arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    off = np.asarray(arr.offsets, dtype=np.int64)
+    counts = np.diff(off)
+    take = pa.array(
+        np.repeat(np.arange(t.num_rows, dtype=np.int64), counts), pa.int64()
+    )
+    flat = arr.values.slice(off[0], off[-1] - off[0]) if len(off) else arr.values
+    return pa.Table.from_pydict(
+        {"band_key": flat, "doc_id": t["doc_id"].take(take)}
+    )
+
+
+def _bucket_segments(t: pa.Table):
+    """Lexsort a co-located (band_key, doc_id, ...) block into bucket
+    segments; yields (segment row-index array, start, end) plus the
+    sorted key codes for callers that need them. Returns (order, bounds,
+    ids) with ids = doc_id numpy view."""
+    kenc = t["band_key"].combine_chunks().dictionary_encode()
+    kc = np.asarray(kenc.indices, dtype=np.int64)
+    ids = np.asarray(t["doc_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+    order = np.argsort(kc, kind="stable")
+    kc_s = kc[order]
+    change = np.nonzero(kc_s[1:] != kc_s[:-1])[0] + 1
+    bounds = np.concatenate([[0], change, [len(order)]])
+    return order, bounds, ids
+
+
+_EMPTY_PAIRS = pa.Table.from_pydict(
+    {"doc_id1": pa.array([], pa.int64()), "doc_id2": pa.array([], pa.int64())}
+)
+
+
+def _direct_bucket_pairs(t: pa.Table, n_max: int) -> pa.Table:
+    """Candidate pairs for every bucket with 2..n_max members (whole
+    buckets are co-located by the band_key repartition). Buckets larger
+    than n_max are handled by the salted overflow exchange."""
+    if t.num_rows == 0:
+        return _EMPTY_PAIRS
+    t = t.combine_chunks()
+    order, bounds, ids = _bucket_segments(t)
+    gis, gjs = [], []
+    for s0, s1 in zip(bounds[:-1], bounds[1:]):
+        n = s1 - s0
+        if n < 2 or n > n_max:
+            continue
+        seg = order[s0:s1]
+        iu, ju = np.triu_indices(n, k=1)
+        gis.append(seg[iu])
+        gjs.append(seg[ju])
+    if not gis:
+        return _EMPTY_PAIRS
+    gi = np.concatenate(gis)
+    gj = np.concatenate(gjs)
+    lo = np.minimum(ids[gi], ids[gj])
+    hi = np.maximum(ids[gi], ids[gj])
+    keep = lo != hi
     return pa.Table.from_pydict(
         {
-            "doc_id1": pa.array(id1, pa.int64()),
-            "doc_id2": pa.array(id2, pa.int64()),
-            "jaccard": pa.array(jac, pa.float64()),
+            "doc_id1": pa.array(lo[keep], pa.int64()),
+            "doc_id2": pa.array(hi[keep], pa.int64()),
         }
     )
 
 
-def dedup_minhash_lsh(sf_dir: str, threshold: float = 0.8, num_perm: int = 64, n_bands: int = 16):
-    """MinHash-LSH near-dup over token 3-shingles: shingle -> minhash ->
-    band bucket groupby -> candidate pairs -> exact shingle-jaccard verify
-    -> canonical dedup. (The scale path: candidates ≪ C(n,2); only band
-    buckets shuffle.)"""
-    import pyarrow.compute as pc
-    from ray.data.aggregate import Min
+def _overflow_salt_rows(t: pa.Table, n_max: int) -> pa.Table:
+    """Triangle-join salt replication for buckets LARGER than n_max (the
+    degenerate boilerplate-corpus shape): each member goes to every
+    salt-group pair containing its salt p = doc_id % S, S = ceil(n/n_max)
+    — same construction as the mega-block salting in stages/blocking.py.
+    Empty in the common (no mega-bucket) case, so the salted exchange
+    never spins up."""
+    empty = pa.Table.from_pydict(
+        {
+            "band_key": pa.array([], pa.string()),
+            "sa": pa.array([], pa.int32()),
+            "sb": pa.array([], pa.int32()),
+            "part": pa.array([], pa.int32()),
+            "doc_id": pa.array([], pa.int64()),
+        }
+    )
+    if t.num_rows == 0:
+        return empty
+    import math
 
-    ds = _read_documents(sf_dir, columns=["doc_id", "text"])
-    cands = (
-        ds.map_batches(
-            _MinhashEmitter,
-            fn_constructor_kwargs={"num_perm": num_perm, "n_bands": n_bands},
-            batch_format="pyarrow",
-            concurrency=(1, 8),
+    t = t.combine_chunks()
+    order, bounds, ids = _bucket_segments(t)
+    takes, sas, sbs, parts = [], [], [], []
+    for s0, s1 in zip(bounds[:-1], bounds[1:]):
+        n = s1 - s0
+        if n <= n_max:
+            continue
+        seg = order[s0:s1]
+        S = math.ceil(n / n_max)
+        p = ids[seg] % S
+        for q in range(S):
+            takes.append(seg)
+            sas.append(np.minimum(p, q))
+            sbs.append(np.maximum(p, q))
+            parts.append(p)
+    if not takes:
+        return empty
+    take = pa.array(np.concatenate(takes), pa.int64())
+    return pa.Table.from_pydict(
+        {
+            "band_key": t["band_key"].take(take),
+            "sa": pa.array(np.concatenate(sas).astype(np.int32), pa.int32()),
+            "sb": pa.array(np.concatenate(sbs).astype(np.int32), pa.int32()),
+            "part": pa.array(np.concatenate(parts).astype(np.int32), pa.int32()),
+            "doc_id": t["doc_id"].take(take),
+        }
+    )
+
+
+def _salted_segment_pairs(t: pa.Table) -> pa.Table:
+    """Pair-gen over salted overflow rows co-located by (band_key, sa,
+    sb): within-group triu on the diagonal groups, repeat-tile cross
+    otherwise — no per-pair Python."""
+    if t.num_rows == 0:
+        return _EMPTY_PAIRS
+    t = t.combine_chunks()
+    kenc = t["band_key"].combine_chunks().dictionary_encode()
+    kc = np.asarray(kenc.indices, dtype=np.int64)
+    sa = np.asarray(t["sa"].to_numpy(zero_copy_only=False))
+    sb = np.asarray(t["sb"].to_numpy(zero_copy_only=False))
+    part = np.asarray(t["part"].to_numpy(zero_copy_only=False))
+    ids = np.asarray(t["doc_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+    order = np.lexsort((sb, sa, kc))
+    kc_s, a_s, b_s = kc[order], sa[order], sb[order]
+    change = np.nonzero(
+        (kc_s[1:] != kc_s[:-1]) | (a_s[1:] != a_s[:-1]) | (b_s[1:] != b_s[:-1])
+    )[0] + 1
+    bounds = np.concatenate([[0], change, [len(order)]])
+    gis, gjs = [], []
+    for s0, s1 in zip(bounds[:-1], bounds[1:]):
+        seg = order[s0:s1]
+        a_id, b_id = int(a_s[s0]), int(b_s[s0])
+        if a_id == b_id:
+            rows = seg[part[seg] == a_id]
+            if len(rows) > 1:
+                iu, ju = np.triu_indices(len(rows), k=1)
+                gis.append(rows[iu])
+                gjs.append(rows[ju])
+        else:
+            ra = seg[part[seg] == a_id]
+            rb = seg[part[seg] == b_id]
+            if len(ra) and len(rb):
+                gis.append(np.repeat(ra, len(rb)))
+                gjs.append(np.tile(rb, len(ra)))
+    if not gis:
+        return _EMPTY_PAIRS
+    gi = np.concatenate(gis)
+    gj = np.concatenate(gjs)
+    lo = np.minimum(ids[gi], ids[gj])
+    hi = np.maximum(ids[gi], ids[gj])
+    keep = lo != hi
+    return pa.Table.from_pydict(
+        {
+            "doc_id1": pa.array(lo[keep], pa.int64()),
+            "doc_id2": pa.array(hi[keep], pa.int64()),
+        }
+    )
+
+
+def _verify_pairs_driver(pairs: np.ndarray, sketches, threshold: float):
+    """Verify a DRIVER-SIZED candidate set: broadcast the needed doc-id
+    set, filter the sketch dataset down to those docs (no exchange),
+    gather the (bounded) survivors, and run ONE vectorized multi-pair
+    jaccard. ``pairs`` is an (n, 2) int64 array of deduped (lo, hi)."""
+    import ray
+    import ray.data as rd
+
+    if not len(pairs):
+        return rd.from_arrow(
+            pa.Table.from_pydict(
+                {
+                    "doc_id1": pa.array([], pa.int64()),
+                    "doc_id2": pa.array([], pa.int64()),
+                    "jaccard": pa.array([], pa.float64()),
+                }
+            )
         )
-        .groupby("band_key", num_partitions=shuffle_partitions())
-        .map_groups(_bucket_pairs, batch_format="pyarrow")
+    needed = np.unique(pairs)
+    ref = ray.put(needed)
+
+    def flt(t: pa.Table) -> pa.Table:
+        from ..stages.mention_prep import get_broadcast
+
+        nd = get_broadcast(ref)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(nd, ids)
+        pos_c = np.minimum(pos, len(nd) - 1)
+        return t.filter(pa.array(nd[pos_c] == ids))
+
+    parts_off, parts_vals, parts_ids = [], [], []
+    for b in sketches.map_batches(flt, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow", batch_size=65536
+    ):
+        o, v = _binary_to_u64_rows(b["sh"])
+        parts_ids.append(b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64))
+        parts_off.append(o)
+        parts_vals.append(v[o[0] : o[-1]] if len(o) else v[:0])
+    from ..stages.features import pairwise_jaccard
+
+    all_ids = np.concatenate(parts_ids) if parts_ids else np.empty(0, np.int64)
+    lens = [np.diff(o) for o in parts_off]
+    flat = np.concatenate(parts_vals) if parts_vals else np.empty(0, np.uint64)
+    off = np.concatenate(
+        [[0], np.cumsum(np.concatenate(lens) if lens else np.empty(0, np.int64))]
+    ).astype(np.int64)
+    srt = np.argsort(all_ids)
+    ids_s = all_ids[srt]
+    gi = srt[np.searchsorted(ids_s, pairs[:, 0])]
+    gj = srt[np.searchsorted(ids_s, pairs[:, 1])]
+    jac = pairwise_jaccard(off, flat, gi, off, flat, gj)
+    keep = jac >= threshold
+    return rd.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "doc_id1": pa.array(pairs[keep, 0], pa.int64()),
+                "doc_id2": pa.array(pairs[keep, 1], pa.int64()),
+                "jaccard": pa.array(jac[keep], pa.float64()),
+            }
+        )
     )
-    verified = cands.map_batches(
-        lambda t: t.filter(pc.greater_equal(t["jaccard"], threshold)),
+
+
+def _verify_pairs_join(pairs_ds, sketches, threshold: float):
+    """Scale-path verify: two hash joins against the sketch dataset —
+    each doc's sketch crosses the wire exactly twice (vs once per band
+    in round 2). ``pairs_ds`` must already be deduped."""
+
+    def rename(new_id: str, new_sh: str):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.select(["doc_id", "sh"]).rename_columns([new_id, new_sh])
+
+        return fn
+
+    left = sketches.map_batches(rename("doc_id1", "sh1"), batch_format="pyarrow")
+    right = sketches.map_batches(rename("doc_id2", "sh2"), batch_format="pyarrow")
+    joined = pairs_ds.join(
+        left, join_type="inner", on=("doc_id1",), num_partitions=join_partitions()
+    ).join(
+        right, join_type="inner", on=("doc_id2",), num_partitions=join_partitions()
+    )
+
+    def verify(t: pa.Table) -> pa.Table:
+        from ..stages.features import pairwise_jaccard
+
+        t = t.combine_chunks()
+        n = t.num_rows
+        if n == 0:
+            return pa.Table.from_pydict(
+                {
+                    "doc_id1": pa.array([], pa.int64()),
+                    "doc_id2": pa.array([], pa.int64()),
+                    "jaccard": pa.array([], pa.float64()),
+                }
+            )
+        off1, vals1 = _binary_to_u64_rows(t["sh1"])
+        off2, vals2 = _binary_to_u64_rows(t["sh2"])
+        idx = np.arange(n, dtype=np.int64)
+        jac = pairwise_jaccard(off1, vals1, idx, off2, vals2, idx)
+        keep = jac >= threshold
+        kt = pa.array(np.nonzero(keep)[0], pa.int64())
+        return pa.Table.from_pydict(
+            {
+                "doc_id1": t["doc_id1"].take(kt),
+                "doc_id2": t["doc_id2"].take(kt),
+                "jaccard": pa.array(jac[keep], pa.float64()),
+            }
+        )
+
+    return joined.map_batches(verify, batch_format="pyarrow")
+
+
+def dedup_minhash_lsh(
+    sf_dir: str,
+    threshold: float = 0.8,
+    num_perm: int = 64,
+    n_bands: int = 16,
+    n_max: int = 4096,
+    driver_max_pairs: int = 250_000,
+):
+    """MinHash-LSH near-dup over token 3-shingles ->
+    (doc_id1, doc_id2, jaccard >= threshold), each verified pair once.
+
+    Scale shape (one exchange in the common case):
+    1. ONE fused actor pass sketches + bands each doc (payloads stay in
+       the materialized parent, never enter an exchange).
+    2. ONE hash repartition co-locates (band_key, doc_id) buckets
+       (~20 bytes/row; candidates ≪ C(n,2)).
+    3. Buckets ≤ n_max pair up locally (vectorized triu); larger buckets
+       emit triangle-salted rows into a SECOND exchange that only runs
+       when a mega-bucket exists.
+    4. Verify is budget-guarded: ≤ driver_max_pairs dedupes + verifies
+       via one broadcast-filtered gather and a single vectorized
+       multi-pair jaccard; past the budget it falls back to a
+       distributed groupby dedup + two hash joins against the sketches.
+    """
+    from ray.data.aggregate import Count
+
+    docs = _read_documents(sf_dir, columns=["doc_id", "text"])
+    sketched = docs.map_batches(
+        _SketchBander,
+        fn_constructor_kwargs={"num_perm": num_perm, "n_bands": n_bands},
         batch_format="pyarrow",
+        concurrency=(1, 8),
+    ).materialize()
+    n_docs = sketched.count()
+    nparts = sized_partitions(n_docs * n_bands)
+    repart = (
+        sketched.map_batches(_explode_bands, batch_format="pyarrow")
+        .repartition(num_blocks=nparts, keys=["band_key"])
+        .materialize()
     )
-
-    # canonical dedup across buckets: one row per pair
-    def pair_key(t: pa.Table) -> pa.Table:
-        k = [f"{a}:{b}" for a, b in zip(t["doc_id1"].to_pylist(), t["doc_id2"].to_pylist())]
-        return t.append_column("pk", pa.array(k, pa.string()))
-
-    return (
-        verified.map_batches(pair_key, batch_format="pyarrow")
-        .groupby("pk", num_partitions=shuffle_partitions())
-        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
-        .drop_columns(["pk"])
+    direct = repart.map_batches(
+        lambda t: _direct_bucket_pairs(t, n_max),
+        batch_format="pyarrow",
+        batch_size=None,
     )
+    overflow = repart.map_batches(
+        lambda t: _overflow_salt_rows(t, n_max),
+        batch_format="pyarrow",
+        batch_size=None,
+    ).materialize()
+    if overflow.count():
+        salted = (
+            overflow.repartition(
+                num_blocks=nparts, keys=["band_key", "sa", "sb"]
+            ).map_batches(
+                _salted_segment_pairs, batch_format="pyarrow", batch_size=None
+            )
+        )
+        cands = direct.union(salted)
+    else:
+        cands = direct
+
+    sketches = sketched.select_columns(["doc_id", "sh"])
+
+    # budget-guarded verify: stream candidates (cross-band dups included,
+    # ≤ n_bands per pair) to the driver up to the budget
+    collected: list | None = []
+    n_cands = 0
+    for b in cands.iter_batches(batch_format="pyarrow", batch_size=65536):
+        collected.append(
+            np.stack(
+                [
+                    b["doc_id1"].to_numpy(zero_copy_only=False).astype(np.int64),
+                    b["doc_id2"].to_numpy(zero_copy_only=False).astype(np.int64),
+                ],
+                axis=1,
+            )
+        )
+        n_cands += b.num_rows
+        if n_cands > driver_max_pairs:
+            collected = None
+            break
+    if collected is not None:
+        pairs = (
+            np.unique(np.concatenate(collected), axis=0)
+            if collected
+            else np.empty((0, 2), np.int64)
+        )
+        return _verify_pairs_driver(pairs, sketches, threshold)
+
+    deduped = (
+        cands.groupby(["doc_id1", "doc_id2"], num_partitions=shuffle_partitions())
+        .aggregate(Count(alias_name="_nb"))
+        .drop_columns(["_nb"])
+    )
+    return _verify_pairs_join(deduped, sketches, threshold)
 
 
-def dedup_canonical_docs(sf_dir: str, threshold: float = 0.8):
+def dedup_canonical_docs(
+    sf_dir: str, threshold: float = 0.8, driver_max_edges: int = 2_000_000
+):
     """The dedup family's END PRODUCT: one canonical doc per near-dup
     cluster. MinHash-LSH verified pairs (jaccard >= threshold) form
     edges; connected components pick min doc_id per cluster as the
     canonical survivor; every doc maps to its canonical
-    (doc_id, canonical_id, is_canonical). Match edges are tiny relative
-    to the corpus, so the vectorized driver union-find applies (the
-    distributed label-propagation in stages/cluster.py is the >memory
-    path); the per-doc mapping assignment is a broadcast hash lookup."""
+    (doc_id, canonical_id, is_canonical).
+
+    Edge→cluster assignment uses the same budget-guarded auto switch as
+    stages/cluster.assign_clusters: edges stream to the driver only up to
+    ``driver_max_edges`` (vectorized union-find + broadcast searchsorted
+    assign); past the budget it falls back to the fully distributed
+    min-label propagation — at web scale verified near-dup pairs can
+    exceed driver memory."""
     import ray
 
     import pyarrow.compute as pc
 
-    from ..stages.cluster import _union_find_arrays
+    from ..stages.cluster import (
+        _union_find_arrays,
+        connected_components_distributed,
+    )
 
-    pairs = dedup_minhash_lsh(sf_dir, threshold=threshold).to_pandas()
-    u1 = pairs["doc_id1"].to_numpy()
-    u2 = pairs["doc_id2"].to_numpy()
+    edges_ds = dedup_minhash_lsh(sf_dir, threshold=threshold).materialize()
+
+    # stream edges to the driver UP TO the budget; overflow -> distributed
+    collected: list | None = []
+    n_edges = 0
+    for b in edges_ds.iter_batches(batch_format="pyarrow", batch_size=65536):
+        collected.append(
+            (
+                b["doc_id1"].to_numpy(zero_copy_only=False).astype(np.int64),
+                b["doc_id2"].to_numpy(zero_copy_only=False).astype(np.int64),
+            )
+        )
+        n_edges += b.num_rows
+        if n_edges > driver_max_edges:
+            collected = None
+            break
+
+    docs = _read_documents(sf_dir, ["doc_id"])
+
+    if collected is None:
+        # distributed path: CC labels for edge-nodes, then left-fill
+        # singletons (canonical = own doc_id)
+        labels = connected_components_distributed(
+            edges_ds,
+            edge_cols=("doc_id1", "doc_id2"),
+            node_col="doc_id",
+            label_col="canonical_id",
+        )
+        joined = docs.join(
+            labels,
+            join_type="left_outer",
+            on=("doc_id",),
+            num_partitions=join_partitions(),
+        )
+
+        def fill(t: pa.Table) -> pa.Table:
+            canon = pc.coalesce(t["canonical_id"], t["doc_id"])
+            return pa.Table.from_pydict(
+                {
+                    "doc_id": t["doc_id"],
+                    "canonical_id": pc.cast(canon, pa.int64()),
+                    "is_canonical": pc.cast(
+                        pc.equal(canon, t["doc_id"]), pa.int8()
+                    ),
+                }
+            )
+
+        return joined.map_batches(fill, batch_format="pyarrow")
+
+    u1 = (
+        np.concatenate([c[0] for c in collected])
+        if collected
+        else np.empty(0, np.int64)
+    )
+    u2 = (
+        np.concatenate([c[1] for c in collected])
+        if collected
+        else np.empty(0, np.int64)
+    )
     nodes, labels = (
         _union_find_arrays(u1.astype(object), u2.astype(object))
         if len(u1)
@@ -414,9 +821,7 @@ def dedup_canonical_docs(sf_dir: str, threshold: float = 0.8):
             }
         )
 
-    return _read_documents(sf_dir, ["doc_id"]).map_batches(
-        assign, batch_format="pyarrow"
-    )
+    return docs.map_batches(assign, batch_format="pyarrow")
 
 
 # -- SimHash near-dup ------------------------------------------------------

@@ -19,6 +19,20 @@ def shuffle_partitions(factor: int = 1, lo: int = 2, hi: int = 64) -> int:
     return max(lo, min(hi, factor * cpus))
 
 
+def sized_partitions(
+    n_rows: int, rows_per_part: int = 200_000, lo: int = 2, hi: int | None = None
+) -> int:
+    """Data-aware partition count for hash exchanges whose input row
+    count is already known (e.g. from a materialized upstream): fixed
+    per-aggregator-actor overhead dominates small exchanges, so size
+    partitions to ~``rows_per_part`` rows each instead of always paying
+    for one actor per CPU. Clamped to [lo, shuffle_partitions()]."""
+    cap = shuffle_partitions() if hi is None else hi
+    import math
+
+    return max(lo, min(cap, math.ceil(max(1, n_rows) / rows_per_part)))
+
+
 def join_partitions(lo: int = 2, hi: int = 64) -> int:
     """Partition count for ``Dataset.join``: ~cpus/2. Join aggregators
     are heavier actors than groupby's — measured on a 32-cpu node, a

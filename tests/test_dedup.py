@@ -106,3 +106,119 @@ class TestPairJaccardDocs:
         sf = _write_docs(tmp_path, rows)
         got = _got_pairs(dedup.pair_jaccard_docs(sf))
         assert [(a, b) for a, b, _ in got] == [(1, 3)]
+
+
+def _mk_cluster_rows(texts_by_cluster):
+    """One row per (cluster, copy); identical text within a cluster."""
+    rows, doc_id = [], 1
+    for text, n in texts_by_cluster:
+        for _ in range(n):
+            rows.append(
+                {"doc_id": doc_id, "text": text, "lang": "en", "source": "a"}
+            )
+            doc_id += 1
+    return rows
+
+
+class TestMinhashLsh:
+    def test_band_rows_carry_no_sketch_payload(self, ray_session):
+        """The LSH exchange schema is (band_key, doc_id) ONLY — the
+        round-2 version shipped each doc's full shingle set on every
+        band row (16x payload amplification)."""
+        t = pa.table({"doc_id": [1, 2], "text": ["a b c d e", "a b c d f"]})
+        sk = dedup._SketchBander()(t)
+        assert sk.schema.names == ["doc_id", "sh", "bands"]
+        assert sk.schema.field("sh").type == pa.large_binary()
+        bands = dedup._explode_bands(sk)
+        assert bands.schema.names == ["band_key", "doc_id"]
+        assert bands.num_rows == 2 * 16
+
+    def test_binary_u64_roundtrip_with_slice(self):
+        off = np.array([0, 3, 3, 5], dtype=np.int64)
+        flat = np.arange(5, dtype=np.uint64) * np.uint64(1 << 60)
+        col = dedup._u64_rows_to_binary(off, flat)
+        o2, v2 = dedup._binary_to_u64_rows(col)
+        assert np.array_equal(o2, off)
+        assert np.array_equal(v2[o2[0]:o2[-1]], flat)
+        sl = col.slice(1, 2)  # rows 1..2
+        o3, v3 = dedup._binary_to_u64_rows(sl)
+        assert np.array_equal(o3, off[1:4])
+        assert np.array_equal(v3[o3[0]:o3[-1]], flat[3:5])
+
+    def test_adversarial_mega_bucket_salted(self, ray_session, tmp_path):
+        """60 identical docs collapse into ONE bucket per band; n_max=8
+        forces triangle salting. All C(60,2) pairs must come out exactly
+        once with jaccard 1.0, in bounded per-task work."""
+        n = 60
+        rows = [
+            {"doc_id": i + 1, "text": "the quick brown fox jumps over the lazy dog"}
+            for i in range(n)
+        ]
+        sf = _write_docs(tmp_path, rows)
+        got = _got_pairs(dedup.dedup_minhash_lsh(sf, n_max=8))
+        want = sorted(
+            (i, j, 1.0) for i in range(1, n + 1) for j in range(i + 1, n + 1)
+        )
+        assert got == want
+
+    def test_mixed_corpus_unsalted_vs_salted_identical(self, ray_session, tmp_path):
+        """Salting is a pure execution strategy: results must be
+        byte-identical with and without forced bucket splitting."""
+        rng = np.random.default_rng(23)
+        rows = []
+        for c in range(6):
+            base = [f"tok{c}_{k}" for k in range(20)]
+            for m in range(4):
+                toks = list(base)
+                if m:
+                    toks[m] = f"mut{c}_{m}"
+                rows.append({"doc_id": len(rows) + 1, "text": " ".join(toks)})
+        for i in range(10):
+            rows.append(
+                {
+                    "doc_id": len(rows) + 1,
+                    "text": " ".join(f"uniq{i}_{k}" for k in range(15)),
+                }
+            )
+        sf = _write_docs(tmp_path, rows)
+        a = _got_pairs(dedup.dedup_minhash_lsh(sf))
+        b = _got_pairs(dedup.dedup_minhash_lsh(sf, n_max=2))
+        assert a == b
+        assert len(a) > 0
+
+
+class TestCanonicalDocs:
+    def _corpus(self, tmp_path):
+        rows = _mk_cluster_rows(
+            [
+                ("alpha beta gamma delta epsilon zeta", 3),
+                ("one two three four five six seven", 2),
+                ("red orange yellow green blue indigo", 1),
+            ]
+        )
+        return _write_docs(tmp_path, rows), rows
+
+    def test_driver_and_distributed_paths_agree(self, ray_session, tmp_path):
+        sf, rows = self._corpus(tmp_path)
+        drv = (
+            dedup.dedup_canonical_docs(sf)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        # driver_max_edges=0 forces the distributed label-propagation path
+        dist = (
+            dedup.dedup_canonical_docs(sf, driver_max_edges=0)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            drv, dist.astype(drv.dtypes.to_dict())
+        )
+        got = dict(zip(drv["doc_id"], drv["canonical_id"]))
+        assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6}
+        assert (
+            drv.set_index("doc_id")["is_canonical"].to_dict()
+            == {1: 1, 2: 0, 3: 0, 4: 1, 5: 0, 6: 1}
+        )
