@@ -101,47 +101,137 @@ def pricing_summary(sf_dir: str):
     return agg.map_batches(finalize, batch_format="pyarrow")
 
 
-def revenue_by_nation(sf_dir: str):
-    """3-way join expressed Ray-Data-first for star schemas (SURVEY.md
-    J1/J2): ONLY the genuinely small dimensions (customer ⋈ nation — a
-    dim-side lookup) broadcast via ray.put; lineitem pre-aggregates
-    per order inside map_batches (fixed-point partials), then joins the
-    fact-sized orders table with a hash ``Dataset.join`` — no
-    fact-table-sized driver state anywhere."""
+def _line_rev_partial(t: pa.Table) -> pa.Table:
+    """Per-batch (orderkey -> fixed-point revenue) pre-aggregation:
+    shrinks the join input by the lines-per-order factor."""
+    import pandas as pd
+
+    rev = (
+        t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        * (1.0 - t["l_discount"].to_numpy(zero_copy_only=False))
+    )
+    g = (
+        pd.DataFrame(
+            {
+                "o_orderkey": t["l_orderkey"].to_numpy(zero_copy_only=False),
+                "rev_c": _to_fixed(rev, 100.0),
+            }
+        )
+        .groupby("o_orderkey", as_index=False)["rev_c"]
+        .sum()
+    )
+    return pa.Table.from_pandas(g, preserve_index=False)
+
+
+def _rev_c_to_revenue(t: pa.Table) -> pa.Table:
+    return pa.Table.from_pydict(
+        {
+            "n_name": t["n_name"],
+            "revenue": pa.array(
+                t["rev_c"].to_numpy(zero_copy_only=False) / 100.0, pa.float64()
+            ),
+        }
+    )
+
+
+def _revenue_by_nation_join(sf_dir: str, cust_ds, nat_map: dict):
+    """Scale path: customer is too big to broadcast, so the cust→nation
+    attachment is a second hash join on the customer key; revenue
+    pre-aggregates per custkey before it (join input ~ |customers|,
+    not |orders|). Nation (25 rows) still broadcasts."""
     import ray
 
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
-    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
-    cust_nation = dict(
-        zip(
-            cust["c_custkey"].to_numpy(),
-            cust["c_nationkey"]
-            .map(dict(zip(nat["n_nationkey"], nat["n_name"])))
-            .to_numpy(),
-        )
-    )
-    ref = ray.put(cust_nation)
+    from ray.data.aggregate import Sum
 
-    def line_partial(t: pa.Table) -> pa.Table:
-        """Per-batch (orderkey -> fixed-point revenue) pre-aggregation:
-        shrinks the join input by the lines-per-order factor."""
+    nat_ref = ray.put(nat_map)
+
+    line = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"]
+    ).map_batches(_line_rev_partial, batch_format="pyarrow")
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    per_order = line.join(
+        orders,
+        join_type="inner",
+        on=("o_orderkey",),
+        num_partitions=join_partitions(),
+    )
+
+    def cust_partial(t: pa.Table) -> pa.Table:
         import pandas as pd
 
-        rev = (
-            t["l_extendedprice"].to_numpy(zero_copy_only=False)
-            * (1.0 - t["l_discount"].to_numpy(zero_copy_only=False))
-        )
         g = (
             pd.DataFrame(
                 {
-                    "o_orderkey": t["l_orderkey"].to_numpy(zero_copy_only=False),
-                    "rev_c": _to_fixed(rev, 100.0),
+                    "c_custkey": t["o_custkey"].to_numpy(zero_copy_only=False),
+                    "rev_c": t["rev_c"].to_numpy(zero_copy_only=False),
                 }
             )
-            .groupby("o_orderkey", as_index=False)["rev_c"]
+            .groupby("c_custkey", as_index=False)["rev_c"]
             .sum()
         )
         return pa.Table.from_pandas(g, preserve_index=False)
+
+    per_cust = per_order.map_batches(cust_partial, batch_format="pyarrow").join(
+        cust_ds,
+        join_type="inner",
+        on=("c_custkey",),
+        num_partitions=join_partitions(),
+    )
+
+    def attach(t: pa.Table) -> pa.Table:
+        from ..stages.mention_prep import get_broadcast
+
+        import pandas as pd
+
+        nm = get_broadcast(nat_ref)
+        g = (
+            pd.DataFrame(
+                {
+                    "n_name": [
+                        nm[k] for k in t["c_nationkey"].to_pylist()
+                    ],
+                    "rev_c": t["rev_c"].to_numpy(zero_copy_only=False),
+                }
+            )
+            .groupby("n_name", as_index=False)["rev_c"]
+            .sum()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (
+        per_cust.map_batches(attach, batch_format="pyarrow")
+        .groupby("n_name", num_partitions=shuffle_partitions())
+        .aggregate(Sum("rev_c", alias_name="rev_c"))
+    )
+    return agg.map_batches(_rev_c_to_revenue, batch_format="pyarrow")
+
+
+def revenue_by_nation(sf_dir: str, broadcast_max_rows: int = 5_000_000):
+    """3-way join expressed Ray-Data-first for star schemas (SURVEY.md
+    J1/J2): lineitem pre-aggregates per order inside map_batches
+    (fixed-point partials), then joins the fact-sized orders table with
+    a hash ``Dataset.join``. The customer⋈nation side is SIZE-GUARDED:
+    below ``broadcast_max_rows`` customers it broadcasts via ray.put
+    (one object fetch per worker, no exchange); above — the customer
+    dimension grows linearly with the corpus, so a GB-scale dict per
+    worker would not hold — it becomes a second hash join on o_custkey
+    (nation alone always broadcasts: 25 rows)."""
+    import ray
+
+    cust_ds = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    nat_map = dict(zip(nat["n_nationkey"], nat["n_name"]))
+    n_cust = cust_ds.count()
+    if n_cust > broadcast_max_rows:
+        return _revenue_by_nation_join(sf_dir, cust_ds, nat_map)
+    cust = cust_ds.to_pandas()
+    cust_nation = dict(
+        zip(
+            cust["c_custkey"].to_numpy(),
+            cust["c_nationkey"].map(nat_map).to_numpy(),
+        )
+    )
+    ref = ray.put(cust_nation)
 
     def attach_nation(t: pa.Table) -> pa.Table:
         from ..stages.mention_prep import get_broadcast
@@ -166,7 +256,7 @@ def revenue_by_nation(sf_dir: str):
 
     line = _read(
         sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"]
-    ).map_batches(line_partial, batch_format="pyarrow")
+    ).map_batches(_line_rev_partial, batch_format="pyarrow")
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
     joined = line.join(
         orders,
@@ -179,17 +269,7 @@ def revenue_by_nation(sf_dir: str):
         .groupby("n_name", num_partitions=shuffle_partitions())
         .aggregate(Sum("rev_c", alias_name="rev_c"))
     )
-    return agg.map_batches(
-        lambda t: pa.Table.from_pydict(
-            {
-                "n_name": t["n_name"],
-                "revenue": pa.array(
-                    t["rev_c"].to_numpy(zero_copy_only=False) / 100.0, pa.float64()
-                ),
-            }
-        ),
-        batch_format="pyarrow",
-    )
+    return agg.map_batches(_rev_c_to_revenue, batch_format="pyarrow")
 
 
 def top_parts(sf_dir: str, k: int = 20):
@@ -404,27 +484,64 @@ def pair_gen_docs(sf_dir: str):
     )
 
 
-def semi_join_orders(sf_dir: str, segment: str = "BUILDING"):
-    """Broadcast semi-join (J2 analog: the gold-paper filter at
+def semi_join_orders(
+    sf_dir: str, segment: str = "BUILDING", broadcast_max_rows: int = 5_000_000
+):
+    """Semi-join (J2 analog: the gold-paper filter at
     database/pubmed_inner_outer_feature.sql:91-92): keep orders whose
-    customer is in the segment — key set broadcast, filter inside
-    map_batches, no shuffle."""
+    customer is in the segment. SIZE-GUARDED: below
+    ``broadcast_max_rows`` filtered customers, the key set broadcasts
+    (sorted int64 array + searchsorted membership — no shuffle at all);
+    above — the customer dimension grows with the corpus — it becomes a
+    hash ``Dataset.join`` on the customer key."""
     import ray
 
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
-    keys = frozenset(cust.loc[cust["c_mktsegment"] == segment, "c_custkey"])
+    cust_ds = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+
+    def seg_filter(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["c_mktsegment"], segment)).select(["c_custkey"])
+
+    seg_keys = cust_ds.map_batches(seg_filter, batch_format="pyarrow")
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    n_keys = seg_keys.count()
+    if n_keys > broadcast_max_rows:
+        # semi-join via hash join: keys are unique per customer, so an
+        # inner join neither duplicates nor drops order rows
+        def rekey(t: pa.Table) -> pa.Table:
+            return t.rename_columns(["o_custkey"])
+
+        joined = orders.join(
+            seg_keys.map_batches(rekey, batch_format="pyarrow"),
+            join_type="inner",
+            on=("o_custkey",),
+            num_partitions=join_partitions(),
+        )
+        return joined.map_batches(
+            lambda t: t.select(["o_orderkey", "o_custkey", "o_totalprice"]),
+            batch_format="pyarrow",
+        )
+
+    keys = np.sort(
+        seg_keys.to_pandas()["c_custkey"].to_numpy().astype(np.int64)
+    )
     ref = ray.put(keys)
 
     def f(t: pa.Table) -> pa.Table:
         from ..stages.mention_prep import get_broadcast
 
         keep = get_broadcast(ref)
-        mask = pa.array([k in keep for k in t["o_custkey"].to_pylist()])
-        return t.filter(mask).select(["o_orderkey", "o_custkey", "o_totalprice"])
+        ids = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(keep):
+            pos = np.minimum(np.searchsorted(keep, ids), len(keep) - 1)
+            mask = keep[pos] == ids
+        else:
+            mask = np.zeros(len(ids), dtype=bool)
+        return t.filter(pa.array(mask)).select(
+            ["o_orderkey", "o_custkey", "o_totalprice"]
+        )
 
-    return _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"]).map_batches(
-        f, batch_format="pyarrow"
-    )
+    return orders.map_batches(f, batch_format="pyarrow")
 
 
 def join_order_priority_revenue(sf_dir: str):

@@ -101,3 +101,27 @@ class TestEntry:
         df = _to_pandas(entrymod.entry())
         assert len(df) > 0
         assert set(df.columns) == {"url", "cluster_id"}
+
+
+class TestBroadcastSizeGuards:
+    """The customer-scale broadcasts fall back to hash joins past
+    broadcast_max_rows; both paths must agree exactly (the guard is an
+    execution strategy, not a semantic switch)."""
+
+    def test_revenue_by_nation_join_path(self):
+        from pubmed_and_method_ray.pipelines import relational
+
+        bc = _canon(_to_pandas(relational.revenue_by_nation(SF)))
+        jn = _canon(
+            _to_pandas(relational.revenue_by_nation(SF, broadcast_max_rows=0))
+        )
+        pd.testing.assert_frame_equal(bc, jn)
+
+    def test_semi_join_orders_join_path(self):
+        from pubmed_and_method_ray.pipelines import relational
+
+        bc = _canon(_to_pandas(relational.semi_join_orders(SF)))
+        jn = _canon(
+            _to_pandas(relational.semi_join_orders(SF, broadcast_max_rows=0))
+        )
+        pd.testing.assert_frame_equal(bc, jn)
