@@ -291,6 +291,125 @@ class KNNClassifier:
         return out
 
 
+class LinearSVM:
+    """Linear SVM via deterministic Pegasos (SGD on the L2-regularized
+    hinge loss, Shalev-Shwartz et al. 2007) — the from-scratch analog of
+    the reference's SVC dispatch (src/model/classification.py:78-83).
+    Probabilities come from a Platt-style sigmoid fit on the training
+    margins (two-parameter logistic, full-batch GD, fixed iterations) so
+    ``predict_proba`` composes with the zoo's >0.5 decision rule."""
+
+    def __init__(self, lam: float = 1e-3, n_epochs: int = 40, seed: int = 13):
+        self.lam = lam
+        self.n_epochs = n_epochs
+        self.seed = seed
+        self.w = None
+        self.b = 0.0
+        self.mean_ = None
+        self.scale_ = None
+        self._platt = (1.0, 0.0)
+
+    def fit(self, X: np.ndarray, y: np.ndarray) -> "LinearSVM":
+        X = np.asarray(X, dtype=np.float64)
+        yy = np.where(np.asarray(y, dtype=np.float64) > 0.5, 1.0, -1.0)
+        self.mean_ = X.mean(axis=0)
+        scale = X.std(axis=0)
+        scale[scale == 0] = 1.0
+        self.scale_ = scale
+        Z = (X - self.mean_) / self.scale_
+        n, d = Z.shape
+        rng = np.random.default_rng(self.seed)
+        w = np.zeros(d)
+        b = 0.0
+        t = 0
+        for _ in range(self.n_epochs):
+            for i in rng.permutation(n):
+                t += 1
+                eta = 1.0 / (self.lam * t)
+                m = yy[i] * (Z[i] @ w + b)
+                w *= 1.0 - eta * self.lam
+                if m < 1.0:
+                    w += eta * yy[i] * Z[i]
+                    b += eta * yy[i] * 0.1
+        self.w, self.b = w, b
+        # Platt scaling on training margins
+        margins = Z @ w + b
+        y01 = (yy > 0).astype(np.float64)
+        a, c = 1.0, 0.0
+        for _ in range(200):
+            p = 1.0 / (1.0 + np.exp(-(a * margins + c)))
+            ga = float(((p - y01) * margins).mean())
+            gc = float((p - y01).mean())
+            a -= 0.5 * ga
+            c -= 0.5 * gc
+        self._platt = (a, c)
+        return self
+
+    def predict_proba(self, X: np.ndarray) -> np.ndarray:
+        Z = (np.asarray(X, dtype=np.float64) - self.mean_) / self.scale_
+        a, c = self._platt
+        return 1.0 / (1.0 + np.exp(-(a * (Z @ self.w + self.b) + c)))
+
+
+class MLPClassifier:
+    """One-hidden-layer MLP (tanh, sigmoid output) trained by full-batch
+    backprop with a fixed seed — the from-scratch analog of the
+    reference's MLP dispatch (src/model/classification.py:96-104).
+    Full-batch + fixed init keeps it bit-deterministic across runs."""
+
+    def __init__(
+        self,
+        hidden: int = 16,
+        lr: float = 0.5,
+        n_iter: int = 400,
+        l2: float = 1e-4,
+        seed: int = 29,
+    ):
+        self.hidden = hidden
+        self.lr = lr
+        self.n_iter = n_iter
+        self.l2 = l2
+        self.seed = seed
+        self.mean_ = None
+        self.scale_ = None
+
+    def fit(self, X: np.ndarray, y: np.ndarray) -> "MLPClassifier":
+        X = np.asarray(X, dtype=np.float64)
+        y = np.asarray(y, dtype=np.float64)
+        self.mean_ = X.mean(axis=0)
+        scale = X.std(axis=0)
+        scale[scale == 0] = 1.0
+        self.scale_ = scale
+        Z = (X - self.mean_) / self.scale_
+        n, d = Z.shape
+        rng = np.random.default_rng(self.seed)
+        h = self.hidden
+        W1 = rng.normal(scale=1.0 / np.sqrt(d), size=(d, h))
+        b1 = np.zeros(h)
+        W2 = rng.normal(scale=1.0 / np.sqrt(h), size=h)
+        b2 = 0.0
+        for _ in range(self.n_iter):
+            A = np.tanh(Z @ W1 + b1)
+            p = 1.0 / (1.0 + np.exp(-(A @ W2 + b2)))
+            dz2 = (p - y) / n
+            gW2 = A.T @ dz2 + self.l2 * W2
+            gb2 = float(dz2.sum())
+            dA = np.outer(dz2, W2) * (1.0 - A * A)
+            gW1 = Z.T @ dA + self.l2 * W1
+            gb1 = dA.sum(axis=0)
+            W2 -= self.lr * gW2
+            b2 -= self.lr * gb2
+            W1 -= self.lr * gW1
+            b1 -= self.lr * gb1
+        self.W1, self.b1, self.W2, self.b2 = W1, b1, W2, b2
+        return self
+
+    def predict_proba(self, X: np.ndarray) -> np.ndarray:
+        Z = (np.asarray(X, dtype=np.float64) - self.mean_) / self.scale_
+        A = np.tanh(Z @ self.W1 + self.b1)
+        return 1.0 / (1.0 + np.exp(-(A @ self.W2 + self.b2)))
+
+
 MODEL_REGISTRY = {
     "gbt": lambda: GBTClassifier(n_estimators=60, learning_rate=0.2, max_depth=3),
     "logreg": lambda: LogisticRegressionGD(),
@@ -299,6 +418,8 @@ MODEL_REGISTRY = {
     "rf": lambda: RandomForest(),
     "nb": lambda: GaussianNB(),
     "knn": lambda: KNNClassifier(),
+    "svm": lambda: LinearSVM(),
+    "mlp": lambda: MLPClassifier(),
 }
 
 

@@ -23,7 +23,7 @@ def _toy(n=400, seed=5):
 class TestModelZoo:
     def test_registry(self):
         assert available_models() == [
-            "c45", "gbt", "knn", "logreg", "nb", "rf", "stumps",
+            "c45", "gbt", "knn", "logreg", "mlp", "nb", "rf", "stumps", "svm",
         ]
         with pytest.raises(KeyError):
             use_classifier("nope", *(_toy()[0], _toy()[1], _toy()[0]))
@@ -38,6 +38,8 @@ class TestModelZoo:
             ("rf", 0.90),
             ("nb", 0.85),
             ("knn", 0.90),
+            ("svm", 0.95),
+            ("mlp", 0.95),
         ],
     )
     def test_each_model_learns(self, name, floor):
@@ -46,7 +48,7 @@ class TestModelZoo:
         acc = ((proba > 0.5) == y).mean()
         assert acc >= floor, (name, acc)
 
-    @pytest.mark.parametrize("name", ["c45", "rf", "nb", "knn"])
+    @pytest.mark.parametrize("name", ["c45", "rf", "nb", "knn", "svm", "mlp"])
     def test_new_models_deterministic(self, name):
         X, y = _toy()
         _, p1 = use_classifier(name, X, y, X)
@@ -100,7 +102,7 @@ class TestExperimentRunner:
         assert m["f1"] >= 0.9
         assert set(m) >= {"acc", "p", "r", "f1"}
 
-    @pytest.mark.parametrize("name", ["logreg", "stumps", "c45", "rf", "nb"])
+    @pytest.mark.parametrize("name", ["logreg", "stumps", "c45", "rf", "nb", "svm", "mlp"])
     def test_experiment_runs_zoo(self, features_df, name):
         """The reference's experiment matrix dispatches every zoo member
         (src/main_app.py:4-67); discriminative features must score well
