@@ -1,13 +1,15 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata,
 decoded / feature-extracted in actor-pool map_batches stages.
 
-No image/audio libraries exist in this container, so the decode kernel is
-STUBBED: ``DecodePayload`` raises NotImplementedError in ``real`` mode
-and produces a deterministic fake (seeded by content hash) in ``fake``
-mode. The Ray-side plumbing — binary schema, small batch sizes for large
-payloads, actor signature, output layout — is real and tested
-(tests/test_queries.py). Swap ``_fake_decode`` for a PIL/ffmpeg call on a
-real cluster.
+``mode='real'`` decode/resize runs on the dependency-free numpy raster
+codec (24-bit BMP and P6 PPM, functions/raster.py) — genuinely
+exercisable in this container. PNG/JPEG and video frame extraction
+remain a DECLARED stub boundary (NotImplementedError: they need
+PIL/ffmpeg, absent here); ``mode='fake'`` produces a deterministic
+content-hash stand-in so the oracle-checked plumbing — binary schema,
+small batch sizes for large payloads, actor signature, output layout —
+is testable on any payload. Swap ``decode_raster`` for a PIL/ffmpeg
+call on a full cluster.
 """
 
 from __future__ import annotations
@@ -61,10 +63,13 @@ def _fake_decode(payload: bytes) -> tuple[int, int, np.ndarray]:
 
 
 class DecodePayload:
-    """Actor-pool decode stage. ``mode='real'`` is the stub boundary:
-    it raises NotImplementedError (no media libs in this sandbox);
-    ``mode='fake'`` runs the deterministic fake so the plumbing is
-    testable end-to-end. Keep batch_size small — payload rows are wide."""
+    """Actor-pool decode stage. ``mode='real'`` decodes actual rasters
+    with the dependency-free numpy codec (24-bit BMP, P6 PPM —
+    functions/raster.py); PNG/JPEG/video remain a declared stub boundary
+    (NotImplementedError: they need PIL/ffmpeg, absent here).
+    ``mode='fake'`` runs the deterministic content-hash fake so the
+    oracle-checked plumbing is independent of payload format. Keep
+    batch_size small — payload rows are wide."""
 
     def __init__(self, mode: str = "fake"):
         if mode not in ("real", "fake"):
@@ -72,11 +77,30 @@ class DecodePayload:
         self.mode = mode
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        if self.mode == "real":
-            raise NotImplementedError(
-                "real media decoding requires PIL/ffmpeg — not available here"
-            )
         widths, heights, feats = [], [], []
+        if self.mode == "real":
+            from ..functions.raster import decode_raster, raster_features
+
+            media = (
+                t["media_type"].to_pylist()
+                if "media_type" in t.schema.names
+                else [None] * t.num_rows
+            )
+            for payload, mt in zip(t["payload"].to_pylist(), media):
+                px = decode_raster(payload or b"", mt)
+                h, w = px.shape[:2]
+                widths.append(w)
+                heights.append(h)
+                feats.append(raster_features(px))
+            cols = {
+                "doc_id": t["doc_id"],
+                "width": pa.array(widths, pa.int32()),
+                "height": pa.array(heights, pa.int32()),
+            }
+            F = np.stack(feats) if feats else np.zeros((0, 8))
+            for j in range(8):
+                cols[f"f{j}"] = pa.array(F[:, j], pa.float64())
+            return pa.Table.from_pydict(cols)
         for payload in t["payload"].to_pylist():
             w, h, f = _fake_decode(payload or b"")
             widths.append(w)
@@ -96,10 +120,11 @@ class DecodePayload:
 
 
 class ResizePayload:
-    """Actor-pool resize stage (image-resize analog). ``real`` mode is the
-    stub boundary (needs PIL); ``fake`` emits deterministic target dims +
-    a content-keyed checksum so the plumbing (schema in/out, batch sizing)
-    is testable."""
+    """Actor-pool resize stage (image-resize analog). ``real`` mode
+    decodes with the numpy raster codec, nearest-neighbor resizes, and
+    checksums the resized RGB buffer; ``fake`` emits deterministic
+    target dims + a content-keyed checksum so the oracle-checked
+    plumbing (schema in/out, batch sizing) is payload-format-free."""
 
     def __init__(self, width: int = 224, height: int = 224, mode: str = "fake"):
         if mode not in ("real", "fake"):
@@ -108,7 +133,28 @@ class ResizePayload:
 
     def __call__(self, t: pa.Table) -> pa.Table:
         if self.mode == "real":
-            raise NotImplementedError("real resize requires PIL — not in sandbox")
+            from ..functions.raster import decode_raster, resize_nearest
+
+            media = (
+                t["media_type"].to_pylist()
+                if "media_type" in t.schema.names
+                else [None] * t.num_rows
+            )
+            sums = []
+            for payload, mt in zip(t["payload"].to_pylist(), media):
+                px = resize_nearest(
+                    decode_raster(payload or b"", mt), self.w, self.h
+                )
+                sums.append(hashlib.md5(px.tobytes()).hexdigest()[:16])
+            n = t.num_rows
+            return pa.Table.from_pydict(
+                {
+                    "doc_id": t["doc_id"],
+                    "width": pa.array([self.w] * n, pa.int32()),
+                    "height": pa.array([self.h] * n, pa.int32()),
+                    "resized_checksum": pa.array(sums, pa.string()),
+                }
+            )
         sums = []
         for payload in t["payload"].to_pylist():
             # md5 over payload || ':WxH' — DuckDB: md5(text || ':224x224')

@@ -27,8 +27,117 @@ def _payload_batch(n=5):
     )
 
 
+def _gradient_rgb(w=13, h=7):
+    import numpy as np
+
+    x = np.arange(w, dtype=np.uint8)
+    y = np.arange(h, dtype=np.uint8)
+    px = np.zeros((h, w, 3), dtype=np.uint8)
+    px[:, :, 0] = x[None, :] * 17
+    px[:, :, 1] = y[:, None] * 31
+    px[:, :, 2] = (x[None, :] + y[:, None]) * 7
+    return px
+
+
+def _raster_batch(fmt="bmp", n=4):
+    import numpy as np
+
+    from pubmed_and_method_ray.functions.raster import encode_bmp, encode_ppm
+
+    payloads, mts = [], []
+    for i in range(n):
+        px = _gradient_rgb(8 + i, 5 + i)
+        if fmt == "bmp":
+            payloads.append(encode_bmp(px))
+            mts.append("image/bmp")
+        else:
+            payloads.append(encode_ppm(px))
+            mts.append("image/x-portable-pixmap")
+    return pa.Table.from_pydict(
+        {
+            "doc_id": list(range(n)),
+            "payload": payloads,
+            "media_type": mts,
+            "payload_bytes": [len(p) for p in payloads],
+        }
+    )
+
+
+class TestRasterCodec:
+    def test_bmp_roundtrip(self):
+        import numpy as np
+
+        from pubmed_and_method_ray.functions.raster import decode_bmp, encode_bmp
+
+        for w, h in [(1, 1), (3, 2), (13, 7), (16, 16)]:
+            px = _gradient_rgb(w, h)
+            assert np.array_equal(decode_bmp(encode_bmp(px)), px), (w, h)
+
+    def test_ppm_roundtrip_and_comments(self):
+        import numpy as np
+
+        from pubmed_and_method_ray.functions.raster import decode_ppm, encode_ppm
+
+        px = _gradient_rgb(9, 4)
+        assert np.array_equal(decode_ppm(encode_ppm(px)), px)
+        # header with a comment line
+        with_comment = b"P6\n# a comment\n9 4\n255\n" + px.tobytes()
+        assert np.array_equal(decode_ppm(with_comment), px)
+
+    def test_resize_nearest_identity_and_downscale(self):
+        import numpy as np
+
+        from pubmed_and_method_ray.functions.raster import resize_nearest
+
+        px = _gradient_rgb(10, 6)
+        assert np.array_equal(resize_nearest(px, 10, 6), px)
+        small = resize_nearest(px, 5, 3)
+        assert small.shape == (3, 5, 3)
+        # nearest-neighbor: every output pixel exists in the input
+        flat_in = {tuple(p) for p in px.reshape(-1, 3)}
+        assert all(tuple(p) in flat_in for p in small.reshape(-1, 3))
+
+    def test_bad_payloads_rejected(self):
+        import pytest as _pytest
+
+        from pubmed_and_method_ray.functions.raster import decode_bmp, decode_ppm
+
+        with _pytest.raises(ValueError):
+            decode_bmp(b"nope")
+        with _pytest.raises(ValueError):
+            decode_ppm(b"P5\n1 1\n255\n\x00")
+
+
 class TestDecodeActors:
-    def test_real_mode_is_stubbed(self):
+    def test_real_mode_decodes_bmp_and_ppm(self):
+        """mode='real' genuinely decodes rasters: dims match the encoded
+        image, features are the pixel statistics."""
+        import numpy as np
+
+        for fmt in ("bmp", "ppm"):
+            b = _raster_batch(fmt)
+            o = DecodePayload(mode="real")(b)
+            assert o["width"].to_pylist() == [8, 9, 10, 11]
+            assert o["height"].to_pylist() == [5, 6, 7, 8]
+            px0 = _gradient_rgb(8, 5)
+            assert abs(
+                o["f0"][0].as_py() - px0[:, :, 0].mean() / 255.0
+            ) < 1e-12
+
+    def test_real_resize_checksums_pixels(self):
+        from pubmed_and_method_ray.functions.raster import resize_nearest
+        import hashlib
+
+        b = _raster_batch("bmp", n=2)
+        o = ResizePayload(width=4, height=4, mode="real")(b)
+        assert o["width"].to_pylist() == [4, 4]
+        want = hashlib.md5(
+            resize_nearest(_gradient_rgb(8, 5), 4, 4).tobytes()
+        ).hexdigest()[:16]
+        assert o["resized_checksum"][0].as_py() == want
+
+    def test_real_mode_stub_boundary(self):
+        """Non-raster payloads in real mode stay a declared stub."""
         with pytest.raises(NotImplementedError):
             DecodePayload(mode="real")(_payload_batch())
         with pytest.raises(NotImplementedError):
