@@ -123,12 +123,70 @@ def run_er_pipeline(
         "clusters": fp_clusters,
     }
 
+    def _distinct(ds, col):
+        from ..rayutil import shuffle_partitions
+
+        return (
+            ds.select_columns([col])
+            .groupby(col, num_partitions=shuffle_partitions())
+            .count()
+            .count()
+        )
+
+    def _stage_counters(name):
+        """Golden per-stage counts recorded in the checkpoint manifest —
+        the reference asserts stage cardinalities after every SQL step
+        (database/pubmed_inner_outer_feature.sql:106-108); here they ride
+        in the manifest so a resumed run can re-assert them without
+        recomputing the stage. Computed from the just-written files
+        (checkpoint-time only, never on the streaming path)."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        if name == "mentions":
+            return lambda ds: {
+                "mentions": ds.count(),
+                "distinct_hosts": _distinct(ds, "host"),
+            }
+        if name == "features":
+            return lambda ds: {
+                "pairs": ds.count(),
+                "gold_pairs": int(ds.sum("label") or 0),
+            }
+        if name == "scored":
+
+            def fn(ds):
+                def agg(b):
+                    n = pc.sum(
+                        pc.greater_equal(b["score"], pa.scalar(float(threshold)))
+                    ).as_py()
+                    return pa.table({"n": pa.array([n or 0], pa.int64())})
+
+                edges = (
+                    ds.select_columns(["score"])
+                    .map_batches(agg, batch_format="pyarrow")
+                    .sum("n")
+                )
+                return {"pairs": ds.count(), "match_edges": int(edges or 0)}
+
+            return fn
+        if name == "clusters":
+            return lambda ds: {
+                "nodes": ds.count(),
+                "clusters": _distinct(ds, "cluster_id"),
+            }
+        return None
+
     def persist(ds, name):
         """Break lineage once per stage: Parquet checkpoint (resumable)
         when workdir is set, else pin in the object store."""
         if workdir:
             return ckpt.checkpoint(
-                ds, os.path.join(workdir, name), name, stage_fps[name]
+                ds,
+                os.path.join(workdir, name),
+                name,
+                stage_fps[name],
+                counters_fn=_stage_counters(name),
             )
         return ds.materialize()
 

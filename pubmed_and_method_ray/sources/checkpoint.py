@@ -57,10 +57,24 @@ def is_complete(stage_dir: str, fp: str) -> bool:
         return False
 
 
-def checkpoint(ds, stage_dir: str, stage_name: str, fp: str, counters: dict | None = None):
+def checkpoint(
+    ds,
+    stage_dir: str,
+    stage_name: str,
+    fp: str,
+    counters: dict | None = None,
+    counters_fn=None,
+):
     """Write ``ds`` to ``stage_dir`` (atomic) with a lineage manifest and
     return a Dataset reading it back. If a complete checkpoint with the
     same fingerprint exists, skip the write and just read.
+
+    ``counters_fn(read_back_ds) -> dict`` computes stage-semantic golden
+    counts (the reference's count-assertion philosophy,
+    database/pubmed_inner_outer_feature.sql:106-108) from the
+    just-written files — merged into the manifest's ``counters`` before
+    the atomic rename, so a resumed run can assert them without
+    recomputing the stage.
     """
     import ray.data as rd
 
@@ -77,6 +91,9 @@ def checkpoint(ds, stage_dir: str, stage_name: str, fp: str, counters: dict | No
     import pyarrow.parquet as pq
 
     per_file = {f: pq.read_metadata(os.path.join(tmp_dir, f)).num_rows for f in files}
+    if counters_fn is not None:
+        extra = counters_fn(rd.read_parquet(tmp_dir, file_extensions=["parquet"]))
+        counters = {**(counters or {}), **{k: int(v) for k, v in extra.items()}}
     man = {
         "stage": stage_name,
         "fingerprint": fp,

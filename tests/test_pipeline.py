@@ -91,6 +91,8 @@ class TestCheckpointResume:
         clusters1 = out1["clusters"].to_pandas()  # snapshot before "crash"
         man1 = ckpt.read_manifest(os.path.join(workdir, "features"))
         assert man1 and man1["complete"] and man1["rows"] > 0
+        assert man1["counters"]["pairs"] == man1["rows"]
+        assert man1["counters"]["gold_pairs"] > 0
         wrote_at = man1["written_at"]
 
         # simulate a crash after 'features': later stages lost
@@ -99,9 +101,11 @@ class TestCheckpointResume:
         out2 = run_er_pipeline(
             pages, n_max=256, workdir=workdir, model_json=out1["model_json"]
         )
-        # features stage was NOT recomputed (manifest untouched)
+        # features stage was NOT recomputed (manifest untouched) and its
+        # golden counters survived the resume intact
         man2 = ckpt.read_manifest(os.path.join(workdir, "features"))
         assert man2["written_at"] == wrote_at
+        assert man2["counters"] == man1["counters"]
         # identical final clusters
         a = clusters1.sort_values("url").reset_index(drop=True)
         b = out2["clusters"].to_pandas().sort_values("url").reset_index(drop=True)
@@ -147,12 +151,24 @@ class TestCheckpointResume:
 
     def test_manifest_lineage_counters(self, pages, tmp_path_factory):
         workdir = str(tmp_path_factory.mktemp("ckpt2"))
-        run_er_pipeline(pages, n_max=256, workdir=workdir)
+        out = run_er_pipeline(pages, n_max=256, workdir=workdir)
         for stage in ["mentions", "features", "scored", "clusters"]:
             man = ckpt.read_manifest(os.path.join(workdir, stage))
             assert man["stage"] == stage
             assert man["rows"] == sum(man["files"].values())
             assert man["fingerprint"]
+            assert man["counters"], f"{stage} manifest has no golden counters"
+        # counters are stage-semantic, not just row counts
+        mman = ckpt.read_manifest(os.path.join(workdir, "mentions"))
+        assert mman["counters"]["mentions"] == mman["rows"]
+        assert 0 < mman["counters"]["distinct_hosts"] <= mman["rows"]
+        sman = ckpt.read_manifest(os.path.join(workdir, "scored"))
+        sdf = out["scored"].to_pandas()
+        assert sman["counters"]["match_edges"] == int((sdf["score"] >= 0.5).sum())
+        cman = ckpt.read_manifest(os.path.join(workdir, "clusters"))
+        cdf = out["clusters"].to_pandas()
+        assert cman["counters"]["nodes"] == len(cdf)
+        assert cman["counters"]["clusters"] == cdf["cluster_id"].nunique()
 
 
 class TestConnectedComponents:
