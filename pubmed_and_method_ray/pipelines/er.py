@@ -80,6 +80,7 @@ def run_er_pipeline(
     keep_gold: bool = True,
     cc_method: str = "auto",
     evaluate: bool = True,
+    prune_hamming: int | None = 16,
 ):
     """Run the full pipeline. Returns a dict with the clusters Dataset,
     scored-pairs Dataset, trained model JSON, and (if labeled) metrics.
@@ -218,6 +219,7 @@ def run_er_pipeline(
                 n_max=n_max,
                 keep_gold=keep_gold,
                 model_ref=ray.put(model_json),
+                prune_hamming=prune_hamming,
             ),
             "scored",
         )
@@ -225,7 +227,12 @@ def run_er_pipeline(
         if not keep_gold:
             raise ValueError("model_json required when gold labels absent")
         features = persist(
-            generate_pair_features(mentions, n_max=n_max, keep_gold=keep_gold),
+            generate_pair_features(
+                mentions,
+                n_max=n_max,
+                keep_gold=keep_gold,
+                prune_hamming=prune_hamming,
+            ),
             "features",
         )
         model_json = train_pairwise_model(features)

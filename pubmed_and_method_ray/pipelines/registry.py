@@ -114,13 +114,23 @@ def _normalize_stage_factory(idf_ref=None, **kwargs):
 
 
 @register_stage("pair_features")
-def _pair_features_factory(n_max: int = 512, keep_gold: bool = True, model_ref=None, **kw):
+def _pair_features_factory(
+    n_max: int = 512,
+    keep_gold: bool = True,
+    model_ref=None,
+    prune_hamming: int | None = None,
+    **kw,
+):
     from ..stages.blocking import generate_pair_features
 
     return FnStage(
         "pair_features",
         lambda ds: generate_pair_features(
-            ds, n_max=n_max, keep_gold=keep_gold, model_ref=model_ref
+            ds,
+            n_max=n_max,
+            keep_gold=keep_gold,
+            model_ref=model_ref,
+            prune_hamming=prune_hamming,
         ),
         version="1",
     )

@@ -113,7 +113,10 @@ def emit_block_keys(batch: pa.Table) -> pa.Table:
 
 def block_census(mentions_ds):
     """groupby(block_key).count() — the commonness census (SURVEY.md A1).
-    Exact shuffle version (the 10^12-key scale path)."""
+    Exact shuffle version over the (host|band|value) STRING keys; this is
+    the query/test-facing census (``block_census_docs``). It is NOT the
+    input to pair-gen salting — ``emit_pair_keys`` consumes the numeric
+    host-hash skew arrays from ``skew_table_fast`` instead."""
     return (
         mentions_ds.map_batches(emit_block_keys, batch_format="pyarrow")
         .groupby("block_key", num_partitions=shuffle_partitions())
@@ -165,20 +168,6 @@ def skew_table_fast(mentions_ds, n_max: int, sample_mod: int = 8):
     keys = np.array(sorted(skew), dtype=np.uint64)
     counts = np.array([skew[k] for k in keys.tolist()], dtype=np.int64)
     return keys, counts
-
-
-def skew_table(census_ds, n_max: int) -> dict:
-    """Collect ONLY the skewed tail (blocks with n > n_max) to the driver —
-    small by construction; broadcast via ray.put by the caller."""
-    import pyarrow.compute as pc
-
-    skew = {}
-    for b in census_ds.iter_batches(batch_format="pyarrow", batch_size=65536):
-        mask = pc.greater(b["count()"], n_max)
-        t = b.filter(mask)
-        for k, n in zip(t["block_key"].to_pylist(), t["count()"].to_pylist()):
-            skew[k] = int(n)
-    return skew
 
 
 def _pair_bucket(gk: np.ndarray, sa: np.ndarray, sb: np.ndarray, n_buckets: int) -> np.ndarray:
@@ -438,7 +427,7 @@ def make_features_bucket(
     n_max: int = 512,
     keep_gold: bool = True,
     model_ref=None,
-    prune_hamming: int | None = 16,
+    prune_hamming: int | None = None,
 ) -> pa.Table:
     """Fused pair-gen + featurization (+ optional scoring): emits
     (url_1, url_2, label?, feature columns[, score]) directly from the
@@ -450,9 +439,12 @@ def make_features_bucket(
     ``prune_hamming``: the classic ER cascade's cheap filter — candidate
     pairs whose full-64-bit simhash Hamming distance exceeds it are
     dropped BEFORE the expensive string/set kernels (one vectorized
-    popcount pass). Near-dup positives sit at d<=12 on this corpus while
-    band-collision negatives centre at d~19, so 16 trades ~70% of junk
-    featurization for zero positive loss; None disables."""
+    popcount pass). Near-dup positives sit at d<=12 on the synthetic
+    corpus while band-collision negatives centre at d~19, so 16 trades
+    ~70% of junk featurization for zero positive loss THERE — but the
+    zero-loss claim is corpus-tuned, so the generic API defaults to
+    None (no silent recall loss); the ER entrypoint opts in
+    (run_er_pipeline(prune_hamming=16))."""
     from ..functions.simhash import hamming64_arrays
     from .features import append_scores, empty_features, features_from_indices, model_from_ref
 
@@ -558,12 +550,13 @@ def generate_pair_features(
     n_max: int = 512,
     keep_gold: bool = True,
     model_ref=None,
-    prune_hamming: int | None = 16,
+    prune_hamming: int | None = None,
 ):
     """mentions -> per-pair FEATURE rows directly (fused pair-gen +
     featurize; wide pair payloads never materialize). With ``model_ref``
     the rows come back scored too. ``prune_hamming``: see
-    make_features_bucket (cheap cascade filter)."""
+    make_features_bucket (cheap cascade filter; default off — opt in
+    from corpus-tuned entrypoints)."""
     return _keyed_buckets(mentions_ds, n_max, keep_gold).map_batches(
         lambda g: make_features_bucket(
             g,
