@@ -25,9 +25,9 @@ from ..rayutil import join_partitions, shuffle_partitions, sized_partitions
 
 
 def _read_documents(sf_dir: str, columns=None):
-    import ray.data as rd
+    from ..sources.io import read_parquet_clean
 
-    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+    return read_parquet_clean(f"{sf_dir}/documents.parquet", columns=columns)
 
 
 # -- exact dedup (D2/D4 analog): hash-partition + per-group min ------------
@@ -873,9 +873,9 @@ def dedup_embedding_cosine(sf_dir: str, threshold: float = 0.3, n_parts: int = 8
     broadcast; shuffle volume is P x input, work is the inherent O(n^2)
     of the exact operator (use dedup_minhash_lsh / ann_topk_lsh for the
     approximate web-scale path)."""
-    import ray.data as rd
+    from ..sources.io import read_parquet_clean
 
-    dsz = rd.read_parquet(
+    dsz = read_parquet_clean(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
 

@@ -78,7 +78,9 @@ def run_pipeline(ds, stages: list[Stage], workdir: str | None = None):
             if ckpt.is_complete(stage_dir, fp):
                 import ray.data as rd
 
-                ds = rd.read_parquet(stage_dir, file_extensions=["parquet"])
+                from ..sources.io import read_parquet_clean
+
+                ds = read_parquet_clean(stage_dir, file_extensions=["parquet"])
                 continue
         ds = stage.apply(ds)
         if workdir:

@@ -17,9 +17,9 @@ from ..rayutil import join_partitions, shuffle_partitions
 
 
 def _read(sf_dir: str, table: str, columns=None):
-    import ray.data as rd
+    from ..sources.io import read_parquet_clean
 
-    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    return read_parquet_clean(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
 def _to_fixed(x: np.ndarray, scale: float) -> np.ndarray:

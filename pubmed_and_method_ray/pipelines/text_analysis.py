@@ -30,9 +30,9 @@ LANG_MARKERS = {
 
 
 def _read_documents(sf_dir: str, columns=None):
-    import ray.data as rd
+    from ..sources.io import read_parquet_clean
 
-    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+    return read_parquet_clean(f"{sf_dir}/documents.parquet", columns=columns)
 
 
 def token_count(sf_dir: str):

@@ -58,7 +58,9 @@ def main(argv=None) -> int:
         return 2
 
     t0 = time.time()
-    pages = rd.read_parquet(args.input, file_extensions=["parquet"])
+    from pubmed_and_method_ray.sources.io import read_parquet_clean
+
+    pages = read_parquet_clean(args.input, file_extensions=["parquet"])
     out = run_er_pipeline(
         pages,
         model_json=model_json,

@@ -78,8 +78,10 @@ def checkpoint(
     """
     import ray.data as rd
 
+    from .io import read_parquet_clean
+
     if is_complete(stage_dir, fp):
-        return rd.read_parquet(stage_dir, file_extensions=["parquet"])
+        return read_parquet_clean(stage_dir, file_extensions=["parquet"])
 
     tmp_dir = stage_dir + ".tmp"
     if os.path.exists(tmp_dir):
@@ -92,7 +94,7 @@ def checkpoint(
 
     per_file = {f: pq.read_metadata(os.path.join(tmp_dir, f)).num_rows for f in files}
     if counters_fn is not None:
-        extra = counters_fn(rd.read_parquet(tmp_dir, file_extensions=["parquet"]))
+        extra = counters_fn(read_parquet_clean(tmp_dir, file_extensions=["parquet"]))
         counters = {**(counters or {}), **{k: int(v) for k, v in extra.items()}}
     man = {
         "stage": stage_name,
@@ -108,7 +110,7 @@ def checkpoint(
     if os.path.exists(stage_dir):
         shutil.rmtree(stage_dir)
     os.replace(tmp_dir, stage_dir)
-    return rd.read_parquet(stage_dir, file_extensions=["parquet"])
+    return read_parquet_clean(stage_dir, file_extensions=["parquet"])
 
 
 def read_manifest(stage_dir: str) -> dict | None:
