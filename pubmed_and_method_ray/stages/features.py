@@ -101,39 +101,66 @@ def gather_list_rows(off: np.ndarray, vals: np.ndarray, rows: np.ndarray):
     return vals[idx], lens
 
 
-def _pairwise_intersect_counts(fa, la, fb, lb) -> np.ndarray:
-    """|A_i ∩ B_i| for ALL pairs at once: tag each element with its pair
-    id, lexsort (pair, value), count consecutive duplicates per pair.
-    Within a side values are unique, so a duplicate can only be a
-    cross-side hit. One O(N log N) lexsort replaces the per-pair
-    searchsorted loop (the round-2 headline hot spot)."""
-    n = len(la)
-    pid = np.concatenate(
-        [np.repeat(np.arange(n, dtype=np.int64), la),
-         np.repeat(np.arange(n, dtype=np.int64), lb)]
-    )
-    vv = np.concatenate([fa, fb])
-    if not len(vv):
-        return np.zeros(n, dtype=np.int64)
-    order = np.lexsort((vv, pid))
-    pid_s = pid[order]
-    vv_s = vv[order]
-    dup = (pid_s[1:] == pid_s[:-1]) & (vv_s[1:] == vv_s[:-1])
-    return np.bincount(pid_s[1:][dup], minlength=n)
+def _left_runs(rows_a: np.ndarray):
+    """Group pair ids by their LEFT row: stable argsort + run boundaries.
+    Block-triangle pair generation reuses each left row against many
+    rights, so the number of runs is ~#mentions, not #pairs - the
+    per-run numpy-call overhead amortizes across the whole run."""
+    order = np.argsort(np.asarray(rows_a, dtype=np.int64), kind="stable")
+    sorted_rows = np.asarray(rows_a, dtype=np.int64)[order]
+    starts = np.flatnonzero(np.r_[True, sorted_rows[1:] != sorted_rows[:-1]])
+    ends = np.r_[starts[1:], len(sorted_rows)]
+    return order, sorted_rows, starts, ends
 
 
 def pairwise_jaccard(off_a, vals_a, rows_a, off_b, vals_b, rows_b) -> np.ndarray:
     """Vectorized set-jaccard for n (rows_a[i], rows_b[i]) pairs of
     SORTED-UNIQUE list rows. Empty-vs-empty pairs score 0.0 (matching
-    _jaccard_u64 / string_utils.py:99-109 semantics)."""
-    fa, la = gather_list_rows(off_a, vals_a, rows_a)
-    fb, lb = gather_list_rows(off_b, vals_b, rows_b)
-    inter = _pairwise_intersect_counts(fa, la, fb, lb)
+    _jaccard_u64 / string_utils.py:99-109 semantics).
+
+    Pairs are grouped by LEFT row (one searchsorted per DISTINCT left
+    row against that run's concatenated right values) instead of a
+    lexsort over all tagged elements: on block-triangle pair sets each
+    left row repeats across many pairs, so the sort shrinks from
+    O(total_elems log) to one argsort of the pair ids, ~20x less work
+    (measured; the lexsort variant was 8x SLOWER than even the per-pair
+    loop it replaced)."""
+    n = len(rows_a)
+    if n == 0:
+        return np.zeros(0, dtype=np.float64)
+    order, sorted_rows, starts, ends = _left_runs(rows_a)
+    rows_b_s = np.asarray(rows_b, dtype=np.int64)[order]
+    seg_vals, lb_sorted = gather_list_rows(off_b, vals_b, rows_b_s)
+    bounds = np.empty(len(lb_sorted) + 1, dtype=np.int64)
+    bounds[0] = 0
+    np.cumsum(lb_sorted, out=bounds[1:])
+    hits = np.zeros(len(seg_vals), dtype=bool)
+    off_a = np.asarray(off_a)
+    for s, e, a in zip(starts.tolist(), ends.tolist(), sorted_rows[starts].tolist()):
+        A = vals_a[off_a[a] : off_a[a + 1]]
+        lo, hi = bounds[s], bounds[e]
+        if len(A) == 0 or lo == hi:
+            continue
+        seg = seg_vals[lo:hi]
+        idx = np.searchsorted(A, seg)
+        ok = idx < len(A)
+        ok[ok] = A[idx[ok]] == seg[ok]
+        hits[lo:hi] = ok
+    cs = np.empty(len(hits) + 1, dtype=np.int64)
+    cs[0] = 0
+    np.cumsum(hits, out=cs[1:])
+    inter_sorted = cs[bounds[1:]] - cs[bounds[:-1]]  # exact (integer)
+    inter = np.empty(n, dtype=np.int64)
+    inter[order] = inter_sorted
+    ra = np.asarray(rows_a, dtype=np.int64)
+    la = (off_a[ra + 1] - off_a[ra]).astype(np.int64)
+    lb = np.empty(n, dtype=np.int64)
+    lb[order] = lb_sorted
     union = la + lb - inter
     return np.divide(
         inter.astype(np.float64),
         union,
-        out=np.zeros(len(la), dtype=np.float64),
+        out=np.zeros(n, dtype=np.float64),
         where=union > 0,
     )
 
@@ -143,29 +170,48 @@ def pairwise_sparse_dot(
     off_i_b, idx_b, off_w_b, w_b, rows_b,
 ) -> np.ndarray:
     """Vectorized sparse dot for n pairs of (sorted-unique index, weight)
-    list rows: matched indices become consecutive duplicates after the
-    (pair, index) lexsort; their weight products bincount-sum per pair.
-    Accumulation order is ascending index — same order as the scalar
-    _sparse_cos merge."""
-    fia, la = gather_list_rows(off_i_a, idx_a, rows_a)
-    fwa, _ = gather_list_rows(off_w_a, w_a, rows_a)
-    fib, lb = gather_list_rows(off_i_b, idx_b, rows_b)
-    fwb, _ = gather_list_rows(off_w_b, w_b, rows_b)
-    n = len(la)
-    pid = np.concatenate(
-        [np.repeat(np.arange(n, dtype=np.int64), la),
-         np.repeat(np.arange(n, dtype=np.int64), lb)]
-    )
-    ii = np.concatenate([fia, fib])
-    ww = np.concatenate([fwa, fwb]).astype(np.float64)
-    if not len(ii):
-        return np.zeros(n, dtype=np.float64)
-    order = np.lexsort((ii, pid))
-    pid_s, ii_s, ww_s = pid[order], ii[order], ww[order]
-    dup = (pid_s[1:] == pid_s[:-1]) & (ii_s[1:] == ii_s[:-1])
-    return np.bincount(
-        pid_s[1:][dup], weights=ww_s[:-1][dup] * ww_s[1:][dup], minlength=n
-    )
+    list rows, grouped by LEFT row like pairwise_jaccard. Matched-index
+    weight products are summed per pair with np.add.reduceat over the
+    contiguous per-pair segments - accumulation runs in ascending index
+    order, the same order as the scalar _sparse_cos merge (bit-exact)."""
+    n = len(rows_a)
+    if n == 0:
+        return np.zeros(0, dtype=np.float64)
+    order, sorted_rows, starts, ends = _left_runs(rows_a)
+    rows_b_s = np.asarray(rows_b, dtype=np.int64)[order]
+    seg_idx, lb = gather_list_rows(off_i_b, idx_b, rows_b_s)
+    seg_w, _ = gather_list_rows(off_w_b, w_b, rows_b_s)
+    bounds = np.empty(len(lb) + 1, dtype=np.int64)
+    bounds[0] = 0
+    np.cumsum(lb, out=bounds[1:])
+    prods = np.zeros(len(seg_idx) + 1, dtype=np.float64)  # +1: reduceat pad
+    off_i_a = np.asarray(off_i_a)
+    off_w_a = np.asarray(off_w_a)
+    for s, e, a in zip(starts.tolist(), ends.tolist(), sorted_rows[starts].tolist()):
+        A = idx_a[off_i_a[a] : off_i_a[a + 1]]
+        lo, hi = bounds[s], bounds[e]
+        if len(A) == 0 or lo == hi:
+            continue
+        seg = seg_idx[lo:hi]
+        pos = np.searchsorted(A, seg)
+        ok = pos < len(A)
+        ok[ok] = A[pos[ok]] == seg[ok]
+        if ok.any():
+            WA = w_a[off_w_a[a] : off_w_a[a + 1]]
+            sub = np.zeros(hi - lo, dtype=np.float64)
+            sub[ok] = WA[pos[ok]].astype(np.float64) * seg_w[lo:hi][ok].astype(
+                np.float64
+            )
+            prods[lo:hi] = sub
+    # per-pair segment sums: reduceat over contiguous boundaries; each
+    # segment sums left-to-right (ascending index) exactly like the
+    # scalar merge. Empty segments (reduceat returns the element AT the
+    # boundary) are zeroed via the lb mask.
+    dots_sorted = np.add.reduceat(prods, np.minimum(bounds[:-1], len(prods) - 1))
+    dots_sorted[lb == 0] = 0.0
+    dots = np.empty(n, dtype=np.float64)
+    dots[order] = dots_sorted
+    return dots
 
 
 def _sparse_cos(i1, w1, i2, w2) -> float:
