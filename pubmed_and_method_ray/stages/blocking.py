@@ -155,19 +155,24 @@ def skew_table_fast(mentions_ds, n_max: int, sample_mod: int = 8):
     is 8x faster than a hash-shuffle groupby at this key cardinality.
     Returns (sorted uint64 host hashes, int64 counts) for vectorized
     searchsorted lookup in the emit stage."""
-    totals: dict[int, int] = {}
     parts = mentions_ds.map_batches(
         _census_partials, fn_kwargs={"sample_mod": sample_mod}, batch_format="pyarrow"
     )
+    all_k, all_n = [], []
     for b in parts.iter_batches(batch_format="pyarrow", batch_size=262144):
-        ks = b["block_key"].to_numpy(zero_copy_only=False)
-        ns = b["n"].to_numpy(zero_copy_only=False)
-        for k, n in zip(ks.tolist(), ns.tolist()):
-            totals[k] = totals.get(k, 0) + n
-    skew = {k: n * sample_mod for k, n in totals.items() if n * sample_mod > n_max}
-    keys = np.array(sorted(skew), dtype=np.uint64)
-    counts = np.array([skew[k] for k in keys.tolist()], dtype=np.int64)
-    return keys, counts
+        all_k.append(b["block_key"].to_numpy(zero_copy_only=False))
+        all_n.append(b["n"].to_numpy(zero_copy_only=False))
+    if not all_k:
+        return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64)
+    # vectorized merge (this loop is DRIVER-side serial time — it was a
+    # per-key Python dict fold, a measurable Amdahl term at high cpu
+    # counts): unique-sort the sampled host hashes once, segment-sum
+    keys_all = np.concatenate(all_k).astype(np.uint64)
+    ns_all = np.concatenate(all_n).astype(np.int64)
+    keys, inv = np.unique(keys_all, return_inverse=True)
+    counts = np.bincount(inv, weights=ns_all).astype(np.int64) * sample_mod
+    big = counts > n_max
+    return keys[big], counts[big]
 
 
 def _pair_bucket(gk: np.ndarray, sa: np.ndarray, sb: np.ndarray, n_buckets: int) -> np.ndarray:
