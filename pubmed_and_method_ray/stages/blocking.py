@@ -63,13 +63,21 @@ def _host_hashes(batch: pa.Table) -> np.ndarray:
 
 
 def _bands_matrix(group: pa.Table) -> np.ndarray:
-    """(R, NB) uint64 view of the fixed-width bands list column."""
-    arr = group["bands"]
-    arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
-    vals = arr.values.to_numpy(zero_copy_only=False).astype(np.uint64)
-    n = group.num_rows
-    nb = len(vals) // max(n, 1) if n else N_BANDS
-    return vals.reshape(n, nb)
+    """(R, NB) uint64 band-value matrix, recomputed from the 8-byte
+    ``simhash`` column (vectorized shift+mask per band). Bands are a
+    pure function of the simhash, so shipping them through the pair
+    exchange would be redundant payload — the bucket task re-derives
+    them locally instead."""
+    from ..functions.simhash import _BAND_WIDTHS, SIMHASH_BITS
+
+    sh = np.asarray(group["simhash"].to_numpy(zero_copy_only=False), dtype=np.uint64)
+    widths = _BAND_WIDTHS.get(N_BANDS, [SIMHASH_BITS // N_BANDS] * N_BANDS)
+    out = np.empty((len(sh), len(widths)), dtype=np.uint64)
+    off = 0
+    for b_i, w in enumerate(widths):
+        out[:, b_i] = (sh >> np.uint64(off)) & np.uint64((1 << w) - 1)
+        off += w
+    return out
 
 def n_pair_buckets() -> int:
     """Hash-exchange partition count for pair generation: one per CPU —
@@ -91,7 +99,6 @@ PAYLOAD_COLS = [
     "lang",
     "ts_us",
     "simhash",
-    "bands",
     "tok_hashes",
     "sh_hashes",
     "tfidf_idx",
