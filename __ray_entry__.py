@@ -151,6 +151,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": relational.events_sessions,
         "deterministic_sample": relational.deterministic_sample,
         "rank_docs": relational.rank_docs,
+        "events_asof_prev_click": relational.events_asof_prev_click,
     }
 
 
@@ -683,6 +684,19 @@ def oracle_sql() -> dict[str, str]:
         ),
         "deterministic_sample": (
             "SELECT doc_id FROM documents WHERE substring(md5(text), 1, 2) <= '4c'"
+        ),
+        # temporal as-of join: each purchase picks the user's most recent
+        # click STRICTLY before it (DuckDB native ASOF JOIN; the engine's
+        # stages/asof.py single-exchange construction). (user_id, ts) is
+        # duplicate-free in the generator, so the match is deterministic.
+        "events_asof_prev_click": (
+            "SELECT p.event_id AS event_id, p.user_id AS user_id, "
+            "epoch_us(p.ts) AS ts_us, "
+            "c.event_id AS event_id_prev, epoch_us(c.ts) AS ts_us_prev, "
+            "epoch_us(p.ts) - epoch_us(c.ts) AS gap_us "
+            "FROM (SELECT * FROM events WHERE event_type = 'purchase') p "
+            "ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c "
+            "ON p.user_id = c.user_id AND c.ts < p.ts"
         ),
         "rank_docs": (
             "SELECT doc_id, n_chars, "

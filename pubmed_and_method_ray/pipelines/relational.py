@@ -1062,3 +1062,49 @@ def union_distinct_keys(sf_dir: str):
         .groupby(["name", "kind"], num_partitions=shuffle_partitions())
         .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
     )
+
+
+def events_asof_prev_click(sf_dir: str):
+    """As-of join (temporal operator, SURVEY.md §2.13 family): every
+    'purchase' event picks the same user's most recent 'click' strictly
+    before it. DuckDB spells this natively as ASOF JOIN; Ray Data has no
+    built-in, so it rides the generic stages/asof.py construction — one
+    tagged union, ONE hash exchange on user_id, packed-searchsorted
+    predecessor lookup per block. Purchases with no prior click drop
+    (inner as-of). Timestamps surface as epoch microseconds (null-free
+    int64 keeps the value-hash gate unambiguous)."""
+    from ..stages.asof import asof_join
+
+    def to_us(t: pa.Table) -> pa.Table:
+        return t.set_column(
+            t.schema.get_field_index("ts"), "ts_us", t["ts"].cast(pa.int64())
+        )
+
+    def side(t: pa.Table, kind: str) -> pa.Table:
+        return to_us(
+            t.filter(pc.equal(t["event_type"], kind)).drop_columns(["event_type"])
+        )
+
+    cols = ["event_id", "ts", "user_id", "event_type"]
+    purchases = _read(sf_dir, "events", cols).map_batches(
+        lambda t: side(t, "purchase"), batch_format="pyarrow"
+    )
+    clicks = _read(sf_dir, "events", cols).map_batches(
+        lambda t: side(t, "click"), batch_format="pyarrow"
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        key_col="user_id",
+        ts_col="ts_us",
+        right_cols=["event_id", "ts_us"],
+        suffix="_prev",
+        strict=True,
+    )
+
+    def gap(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "gap_us", pc.subtract(t["ts_us"], t["ts_us_prev"])
+        )
+
+    return joined.map_batches(gap, batch_format="pyarrow")

@@ -1,0 +1,188 @@
+"""Generic as-of join — a temporal operator Ray Data has no native
+analog for (the reference's nearest-prior-record lookups are ORDER
+BY...LIMIT 1 subqueries; DuckDB spells it ASOF JOIN).
+
+Semantics: for every LEFT row, pick the single RIGHT row with the same
+key and the greatest right timestamp that is `<` (strict, default) or
+`<=` the left row's timestamp; left rows with no qualifying right row
+are dropped (inner as-of).
+
+Ray-Data-first construction:
+- both sides are tagged and UNIONed into one stream, then ONE hash
+  exchange on the key co-locates every key's rows (left and right) in
+  one partition block — the same single-shuffle shape as pair-gen
+  (stages/blocking.py), and the same partitioning assumption: Ray
+  2.49's hash-shuffle finalize emits one block per partition, so a
+  map_batches(batch_size=None) task sees complete key groups.
+- inside a block the match is fully vectorized: right rows lexsort by
+  (key-code, ts); each probe finds its predecessor with ONE
+  searchsorted over packed (key-code * ts-span + ts-offset) uint keys —
+  no per-row Python, no per-key loop on the packed path.
+- keys of any orderable dtype (int ids, strings) — np.unique factorizes
+  both sides against one vocabulary.
+
+At cluster scale this is one all-to-all exchange of only the columns
+the join needs (callers prune at the read), and the per-block kernel is
+O(n log n) in block rows.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..rayutil import shuffle_partitions
+
+_SIDE = "__asof_side"
+
+
+def _null_array(n: int, typ: pa.DataType) -> pa.Array:
+    return pa.nulls(n, typ)
+
+
+def _asof_block(
+    t: pa.Table,
+    key_col: str,
+    ts_col: str,
+    left_cols: list[str],
+    right_out: list[tuple[str, str]],
+    strict: bool,
+    out_schema: pa.Schema,
+) -> pa.Table:
+    if t.num_rows == 0:
+        return out_schema.empty_table()
+    t = t.combine_chunks()
+    side = np.asarray(t[_SIDE].to_numpy(zero_copy_only=False))
+    ts_arr = t[ts_col]
+    if pa.types.is_temporal(ts_arr.type):
+        ts_arr = ts_arr.cast(pa.int64())
+    ts = np.asarray(ts_arr.to_numpy(zero_copy_only=False), dtype=np.int64)
+    keys_raw = t[key_col].to_numpy(zero_copy_only=False)
+    is_left = side == 1
+    if not is_left.any() or is_left.all():
+        return out_schema.empty_table()
+
+    # one key vocabulary for both sides -> int codes
+    _, codes = np.unique(keys_raw, return_inverse=True)
+    codes = codes.astype(np.int64)
+    r_idx = np.flatnonzero(~is_left)
+    l_idx = np.flatnonzero(is_left)
+    rk, rt = codes[r_idx], ts[r_idx]
+    lk, lt = codes[l_idx], ts[l_idx]
+
+    tmin = int(ts.min())
+    span = int(ts.max()) - tmin + 2  # +2: room for the <= variant's +1
+    ncodes = int(codes.max()) + 1
+    if ncodes * span < (1 << 62):
+        # packed path: predecessor via ONE searchsorted over
+        # code*span + (ts - tmin) keys (rights sorted by (key, ts))
+        order_r = np.lexsort((rt, rk))
+        rp = rk[order_r] * span + (rt[order_r] - tmin)
+        probe = lk * span + (lt - tmin) + (0 if strict else 1)
+        pos = np.searchsorted(rp, probe, side="left") - 1
+        ok = pos >= 0
+        ok[ok] = rk[order_r[pos[ok]]] == lk[ok]
+        match_r = r_idx[order_r[pos[ok]]]
+    else:
+        # degenerate ts/key ranges: per-key-run loop (rare fallback)
+        order_r = np.lexsort((rt, rk))
+        rk_s, rt_s = rk[order_r], rt[order_r]
+        starts = np.searchsorted(rk_s, lk, side="left")
+        ends = np.searchsorted(rk_s, lk, side="right")
+        pos = np.empty(len(lk), dtype=np.int64)
+        ok = np.zeros(len(lk), dtype=bool)
+        sd = "left" if strict else "right"
+        for i in range(len(lk)):
+            s, e = starts[i], ends[i]
+            if s == e:
+                continue
+            p = s + np.searchsorted(rt_s[s:e], lt[i], side=sd) - 1
+            if p >= s:
+                ok[i] = True
+                pos[i] = p
+        match_r = r_idx[order_r[pos[ok]]]
+
+    keep_l = l_idx[ok]
+    cols: dict[str, pa.Array] = {}
+    li = pa.array(keep_l, pa.int64())
+    ri = pa.array(match_r, pa.int64())
+    for c in left_cols:
+        cols[c] = t[c].take(li)
+    for src, dst in right_out:
+        cols[dst] = t[src].take(ri)
+    return pa.Table.from_pydict(cols).cast(out_schema)
+
+
+def asof_join(
+    left_ds,
+    right_ds,
+    key_col: str,
+    ts_col: str,
+    right_cols: list[str],
+    suffix: str = "_prev",
+    strict: bool = True,
+):
+    """As-of join two Datasets. Output: every LEFT column plus each of
+    ``right_cols`` from the matched right row renamed ``{col}{suffix}``
+    (``ts_col`` is matched by time, so its suffixed copy is included
+    automatically when listed in ``right_cols``). ``strict``: match
+    right.ts < left.ts (True) or <= (False). Inner semantics."""
+    def _arrow_type(t) -> pa.DataType:
+        # Ray's Schema reports pandas-backed object columns as the
+        # PYTHON class, not an Arrow type; normalize (parquet-backed
+        # datasets — the production path — always give Arrow types)
+        if isinstance(t, pa.DataType):
+            return t
+        if t in (object, str, bytes):
+            return pa.string()
+        return pa.from_numpy_dtype(np.dtype(t))
+
+    left_schema = left_ds.schema()
+    right_schema = right_ds.schema()
+    left_cols = list(left_schema.names)
+    right_out = [(f"{c}{suffix}", f"{c}{suffix}") for c in right_cols]
+
+    lt = {n: _arrow_type(t) for n, t in zip(left_schema.names, left_schema.types)}
+    rt = {n: _arrow_type(t) for n, t in zip(right_schema.names, right_schema.types)}
+    if lt[key_col] != rt[key_col]:
+        raise TypeError(f"key dtype mismatch: {lt[key_col]} vs {rt[key_col]}")
+
+    # combined exchange schema: left cols + suffixed right payload + side
+    combined = [(c, lt[c]) for c in left_cols]
+    combined += [(f"{c}{suffix}", rt[c]) for c in right_cols]
+    combined_schema = pa.schema(combined + [(_SIDE, pa.int8())])
+    out_schema = pa.schema(combined)
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        arrs = [t[c].combine_chunks() for c in left_cols]
+        arrs += [_null_array(n, rt[c]) for c in right_cols]
+        arrs.append(pa.array(np.ones(n, dtype=np.int8)))
+        return pa.Table.from_arrays(arrs, schema=combined_schema)
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        arrs = []
+        for c in left_cols:
+            if c == key_col:
+                arrs.append(t[key_col].combine_chunks())
+            elif c == ts_col:
+                arrs.append(t[ts_col].combine_chunks().cast(lt[ts_col]))
+            else:
+                arrs.append(_null_array(n, lt[c]))
+        arrs += [t[c].combine_chunks() for c in right_cols]
+        arrs.append(pa.array(np.zeros(n, dtype=np.int8)))
+        return pa.Table.from_arrays(arrs, schema=combined_schema)
+
+    unioned = left_ds.map_batches(tag_left, batch_format="pyarrow").union(
+        right_ds.map_batches(tag_right, batch_format="pyarrow")
+    )
+    return unioned.repartition(
+        num_blocks=shuffle_partitions(), keys=[key_col]
+    ).map_batches(
+        lambda t: _asof_block(
+            t, key_col, ts_col, left_cols, right_out, strict, out_schema
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )

@@ -1,0 +1,147 @@
+"""As-of join: generic stage kernel + the events query, both checked
+against pandas.merge_asof (an independent implementation of the same
+public operator semantics)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from pubmed_and_method_ray.stages.asof import asof_join
+
+SF = "/root/testdata/sf0.001"
+
+
+def _expected_merge_asof(left, right, key, ts, right_cols, strict):
+    l = left.sort_values(ts, kind="mergesort")
+    r = right.sort_values(ts, kind="mergesort")
+    m = pd.merge_asof(
+        l,
+        r[[key, ts] + [c for c in right_cols if c not in (key, ts)]],
+        on=ts,
+        by=key,
+        direction="backward",
+        allow_exact_matches=not strict,
+        suffixes=("", "_prev"),
+    )
+    return m
+
+
+class TestAsofJoin:
+    def _run(self, ldf, rdf, strict, key="k", ts="t"):
+        out = asof_join(
+            rd.from_pandas(ldf),
+            rd.from_pandas(rdf),
+            key_col=key,
+            ts_col=ts,
+            right_cols=["rid", ts],
+            strict=strict,
+        ).to_pandas()
+        return out.sort_values("lid").reset_index(drop=True)
+
+    def test_matches_merge_asof(self):
+        rng = np.random.RandomState(7)
+        n_l, n_r = 400, 300
+        ldf = pd.DataFrame(
+            {
+                "k": rng.randint(0, 12, n_l),
+                "t": rng.randint(0, 10_000, n_l).astype(np.int64),
+                "lid": np.arange(n_l),
+            }
+        )
+        rdf = pd.DataFrame(
+            {
+                "k": rng.randint(0, 12, n_r),
+                "t": rng.randint(0, 10_000, n_r).astype(np.int64),
+                "rid": np.arange(n_r),
+            }
+        )
+        # dedupe (k, t) on the right so the match target is unique
+        rdf = rdf.drop_duplicates(["k", "t"]).reset_index(drop=True)
+        for strict in (True, False):
+            got = self._run(ldf, rdf, strict)
+            exp = _expected_merge_asof(ldf, rdf, "k", "t", ["rid"], strict)
+            exp = exp[exp["rid"].notna()].sort_values("lid").reset_index(drop=True)
+            assert len(got) == len(exp), strict
+            assert (got["lid"].to_numpy() == exp["lid"].to_numpy()).all()
+            assert (
+                got["rid_prev"].to_numpy() == exp["rid"].to_numpy().astype(np.int64)
+            ).all()
+
+    def test_string_keys_and_no_match_drop(self):
+        ldf = pd.DataFrame(
+            {"k": ["a", "a", "b", "c"], "t": [5, 1, 9, 4], "lid": [0, 1, 2, 3]}
+        )
+        rdf = pd.DataFrame({"k": ["a", "a", "b"], "t": [1, 3, 9], "rid": [10, 11, 12]})
+        got = self._run(ldf, rdf, strict=True)
+        # lid0 (a,5) -> rid11 (a,3); lid1 (a,1) no strict-prior; lid2 (b,9)
+        # only right (b,9) not strictly before; lid3 key c absent
+        assert got["lid"].tolist() == [0]
+        assert got["rid_prev"].tolist() == [11]
+        got_le = self._run(ldf, rdf, strict=False)
+        assert got_le["lid"].tolist() == [0, 1, 2]
+        assert got_le["rid_prev"].tolist() == [11, 10, 12]
+
+    def test_fallback_loop_path_matches_packed(self):
+        # huge ts span forces the per-key-run fallback; compare vs packed
+        ldf = pd.DataFrame(
+            {
+                "k": [0, 0, 1, 1],
+                "t": np.array([10, 2**61, 5, 2**62], dtype=np.int64),
+                "lid": [0, 1, 2, 3],
+            }
+        )
+        rdf = pd.DataFrame(
+            {
+                "k": [0, 0, 1],
+                "t": np.array([3, 2**60, 2**61], dtype=np.int64),
+                "rid": [20, 21, 22],
+            }
+        )
+        got = self._run(ldf, rdf, strict=True)
+        assert got["lid"].tolist() == [0, 1, 3]
+        assert got["rid_prev"].tolist() == [20, 21, 22]
+
+
+class TestEventsAsofQuery:
+    def test_against_merge_asof_oracle(self):
+        from pubmed_and_method_ray.pipelines.relational import (
+            events_asof_prev_click,
+        )
+
+        got = events_asof_prev_click(SF).to_pandas()
+        ev = pd.read_parquet(
+            f"{SF}/events.parquet",
+            columns=["event_id", "ts", "user_id", "event_type"],
+        )
+        ev["ts_us"] = ev["ts"].astype("int64")
+        p = ev[ev.event_type == "purchase"]
+        c = ev[ev.event_type == "click"]
+        c = c.assign(ts_us_r=c["ts_us"])  # merge_asof drops the right 'on' col
+        exp = pd.merge_asof(
+            p.sort_values("ts_us", kind="mergesort"),
+            c[["user_id", "ts_us", "ts_us_r", "event_id"]].sort_values(
+                "ts_us", kind="mergesort"
+            ),
+            on="ts_us",
+            by="user_id",
+            direction="backward",
+            allow_exact_matches=False,
+            suffixes=("", "_prev"),
+        )
+        exp = exp[exp["event_id_prev"].notna()].rename(
+            columns={"ts_us_r": "ts_us_prev"}
+        )
+        got = got.sort_values("event_id").reset_index(drop=True)
+        exp = exp.sort_values("event_id").reset_index(drop=True)
+        assert len(got) == len(exp) > 0
+        assert (got["event_id"].to_numpy() == exp["event_id"].to_numpy()).all()
+        assert (
+            got["event_id_prev"].to_numpy()
+            == exp["event_id_prev"].to_numpy().astype(np.int64)
+        ).all()
+        assert (
+            got["gap_us"].to_numpy()
+            == (exp["ts_us"] - exp["ts_us_prev"]).to_numpy().astype(np.int64)
+        ).all()
