@@ -185,11 +185,38 @@ def run_scaling() -> dict:
 
     main_leg = leg(4, 16)
     wide_leg = leg(8, 32)
+
+    # same-day hardware ceiling: this container's 32-core throughput
+    # degrades over its lifetime, so the engine's efficiency is only
+    # interpretable against a pure-CPU control measured in the SAME
+    # session (tools/cpu_burn_control.py)
+    def ceiling(lo: int, hi: int) -> float:
+        out = subprocess.run(
+            [
+                sys.executable,
+                os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "tools", "cpu_burn_control.py"),
+                str(lo), str(hi), "2",
+            ],
+            capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])["efficiency"]
+
+    ceil_main = ceiling(4, 16)
+    ceil_wide = ceiling(8, 32)
     return {
         "metric": "scaling_efficiency",
         **main_leg,
         "scaling_efficiency_8_32": wide_leg["scaling_efficiency"],
         "leg_8_32": wide_leg,
+        "hw_ceiling_4_16": ceil_main,
+        "hw_ceiling_8_32": ceil_wide,
+        "engine_vs_ceiling_4_16": round(
+            main_leg["scaling_efficiency"] / ceil_main, 3
+        ),
+        "engine_vs_ceiling_8_32": round(
+            wide_leg["scaling_efficiency"] / ceil_wide, 3
+        ),
         "sf": SF_DIR,
     }
 
