@@ -152,6 +152,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "deterministic_sample": relational.deterministic_sample,
         "rank_docs": relational.rank_docs,
         "events_asof_prev_click": relational.events_asof_prev_click,
+        "events_range_pairs_1h": relational.events_range_pairs_1h,
     }
 
 
@@ -684,6 +685,14 @@ def oracle_sql() -> dict[str, str]:
         ),
         "deterministic_sample": (
             "SELECT doc_id FROM documents WHERE substring(md5(text), 1, 2) <= '4c'"
+        ),
+        # range join: all ordered within-user event pairs <= 1 hour apart
+        "events_range_pairs_1h": (
+            "SELECT a.user_id AS user_id, "
+            "a.event_id AS event_id_a, b.event_id AS event_id_b, "
+            "epoch_us(b.ts) - epoch_us(a.ts) AS gap_us "
+            "FROM events a JOIN events b ON a.user_id = b.user_id "
+            "AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR"
         ),
         # temporal as-of join: each purchase picks the user's most recent
         # click STRICTLY before it (DuckDB native ASOF JOIN; the engine's

@@ -1108,3 +1108,28 @@ def events_asof_prev_click(sf_dir: str):
         )
 
     return joined.map_batches(gap, batch_format="pyarrow")
+
+
+def events_range_pairs_1h(sf_dir: str):
+    """Range join (temporal window pairing): every ordered pair of a
+    user's events at most 1 hour apart (strictly increasing ts, equal
+    timestamps never pair). Rides stages/asof.range_self_join — one
+    hash exchange on user_id, per-run searchsorted window bounds,
+    vectorized range-repeat pair emission."""
+    from ..stages.asof import range_self_join
+
+    def to_us(t: pa.Table) -> pa.Table:
+        return t.set_column(
+            t.schema.get_field_index("ts"), "ts_us", t["ts"].cast(pa.int64())
+        )
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id"]).map_batches(
+        to_us, batch_format="pyarrow"
+    )
+    return range_self_join(
+        ev,
+        key_col="user_id",
+        ts_col="ts_us",
+        window=3_600_000_000,
+        emit_cols=["event_id"],
+    )

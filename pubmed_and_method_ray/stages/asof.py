@@ -186,3 +186,91 @@ def asof_join(
         batch_format="pyarrow",
         batch_size=None,
     )
+
+
+def _range_block(
+    t: pa.Table,
+    key_col: str,
+    ts_col: str,
+    window: int,
+    emit_cols: list[str],
+    out_schema: pa.Schema,
+) -> pa.Table:
+    if t.num_rows == 0:
+        return out_schema.empty_table()
+    t = t.combine_chunks()
+    ts_arr = t[ts_col]
+    if pa.types.is_temporal(ts_arr.type):
+        ts_arr = ts_arr.cast(pa.int64())
+    ts = np.asarray(ts_arr.to_numpy(zero_copy_only=False), dtype=np.int64)
+    _, codes = np.unique(
+        t[key_col].to_numpy(zero_copy_only=False), return_inverse=True
+    )
+    n = len(ts)
+    order = np.lexsort((ts, codes))
+    ks, tss = codes[order], ts[order]
+    run_starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+    run_ends = np.r_[run_starts[1:], n]
+    lo = np.empty(n, dtype=np.int64)
+    hi = np.empty(n, dtype=np.int64)
+    # one searchsorted PAIR per key run, each over the whole run at once
+    for s, e in zip(run_starts.tolist(), run_ends.tolist()):
+        seg = tss[s:e]
+        lo[s:e] = s + np.searchsorted(seg, seg, side="right")
+        hi[s:e] = s + np.searchsorted(seg, seg + window, side="right")
+    reps = hi - lo
+    total = int(reps.sum())
+    if total == 0:
+        return out_schema.empty_table()
+    left_pos = np.repeat(np.arange(n, dtype=np.int64), reps)
+    cum = np.cumsum(reps) - reps
+    right_pos = np.repeat(lo, reps) + (
+        np.arange(total, dtype=np.int64) - np.repeat(cum, reps)
+    )
+    la = order[left_pos]
+    ra = order[right_pos]
+    li = pa.array(la, pa.int64())
+    ri = pa.array(ra, pa.int64())
+    cols: dict[str, pa.Array] = {key_col: t[key_col].take(li)}
+    for c in emit_cols:
+        cols[f"{c}_a"] = t[c].take(li)
+        cols[f"{c}_b"] = t[c].take(ri)
+    cols["gap_us"] = pa.array(ts[ra] - ts[la], pa.int64())
+    return pa.Table.from_pydict(cols).cast(out_schema)
+
+
+def range_self_join(ds, key_col: str, ts_col: str, window: int, emit_cols: list[str]):
+    """Range join (self): every ordered within-key row pair (a, b) with
+    a.ts < b.ts <= a.ts + ``window`` (ts units; equal timestamps never
+    pair). Same single-exchange shape as asof_join: hash-partition on the
+    key, then each block lexsorts (key, ts) and finds every row's match
+    range with one searchsorted pair per key run + a vectorized
+    range-repeat expansion (the pair-emission kernel shape of
+    blocking._cross_band_pairs). Output: key, each ``emit_cols`` entry
+    twice (``_a``/``_b``), and ``gap_us``.
+
+    Range joins explode quadratically inside a (key, window) cell by
+    definition — callers bound the window, and a skewed key needs the
+    salting treatment of blocking.py if one key's rows outgrow a task
+    (documented assumption, same as pair-gen)."""
+    schema = ds.schema()
+
+    def _arrow_type(t) -> pa.DataType:
+        if isinstance(t, pa.DataType):
+            return t
+        if t in (object, str, bytes):
+            return pa.string()
+        return pa.from_numpy_dtype(np.dtype(t))
+
+    types = {n: _arrow_type(t) for n, t in zip(schema.names, schema.types)}
+    fields = [(key_col, types[key_col])]
+    for c in emit_cols:
+        fields += [(f"{c}_a", types[c]), (f"{c}_b", types[c])]
+    fields.append(("gap_us", pa.int64()))
+    out_schema = pa.schema(fields)
+
+    return ds.repartition(num_blocks=shuffle_partitions(), keys=[key_col]).map_batches(
+        lambda t: _range_block(t, key_col, ts_col, window, emit_cols, out_schema),
+        batch_format="pyarrow",
+        batch_size=None,
+    )

@@ -145,3 +145,53 @@ class TestEventsAsofQuery:
             got["gap_us"].to_numpy()
             == (exp["ts_us"] - exp["ts_us_prev"]).to_numpy().astype(np.int64)
         ).all()
+
+
+class TestRangeSelfJoin:
+    def test_against_brute_force(self):
+        from pubmed_and_method_ray.stages.asof import range_self_join
+
+        rng = np.random.RandomState(11)
+        n = 500
+        df = pd.DataFrame(
+            {
+                "k": rng.randint(0, 10, n),
+                "t": rng.choice(100_000, n, replace=False).astype(np.int64),
+                "id": np.arange(n),
+            }
+        )
+        W = 5_000
+        got = range_self_join(
+            rd.from_pandas(df), key_col="k", ts_col="t", window=W,
+            emit_cols=["id"],
+        ).to_pandas()
+        m = df.merge(df, on="k", suffixes=("_a", "_b"))
+        m = m[(m.t_b > m.t_a) & (m.t_b <= m.t_a + W)]
+        exp = set(zip(m.id_a, m.id_b))
+        assert set(zip(got.id_a, got.id_b)) == exp and len(got) == len(exp) > 0
+        assert (got.gap_us > 0).all() and (got.gap_us <= W).all()
+
+    def test_equal_ts_never_pairs(self):
+        from pubmed_and_method_ray.stages.asof import range_self_join
+
+        df = pd.DataFrame({"k": [1, 1, 1], "t": [5, 5, 9], "id": [0, 1, 2]})
+        got = range_self_join(
+            rd.from_pandas(df), key_col="k", ts_col="t", window=10,
+            emit_cols=["id"],
+        ).to_pandas()
+        assert sorted(zip(got.id_a, got.id_b)) == [(0, 2), (1, 2)]
+
+    def test_events_query_matches_oracle_count(self):
+        from pubmed_and_method_ray.pipelines.relational import (
+            events_range_pairs_1h,
+        )
+
+        got = events_range_pairs_1h(SF).to_pandas()
+        ev = pd.read_parquet(f"{SF}/events.parquet", columns=["event_id", "ts", "user_id"])
+        ev["ts_us"] = ev["ts"].astype("int64")
+        m = ev.merge(ev, on="user_id", suffixes=("_a", "_b"))
+        m = m[(m.ts_us_b > m.ts_us_a) & (m.ts_us_b <= m.ts_us_a + 3_600_000_000)]
+        assert len(got) == len(m) > 0
+        assert set(zip(got.event_id_a, got.event_id_b)) == set(
+            zip(m.event_id_a, m.event_id_b)
+        )
