@@ -153,7 +153,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rank_docs": relational.rank_docs,
         "events_asof_prev_click": relational.events_asof_prev_click,
         "events_range_pairs_1h": relational.events_range_pairs_1h,
+        # -- S9 crawler analog (rate-limited, retrying, resumable fetch) ---
+        "crawl_corpus": _crawl_corpus,
     }
+
+
+def _crawl_corpus(sf_dir: str):
+    """S9 crawler analog: fetch every distinct documents.doc_id through
+    the retrying, rate-limited, shard-resumable fetch stage
+    (sources/crawler.py) with the deterministic sandbox fetcher, then
+    read the fetched shards back. Payload bytes and the retry count are
+    pure functions of the id, so the whole operator is SQL-checkable."""
+    import os
+    import shutil
+
+    from pubmed_and_method_ray.sources.crawler import fetch_corpus, read_corpus
+    from pubmed_and_method_ray.sources.io import read_parquet_clean
+
+    out_dir = f"/tmp/crawl_corpus_{os.path.basename(os.path.normpath(sf_dir))}"
+    shutil.rmtree(out_dir, ignore_errors=True)  # fresh fetch per driver run
+    ids = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    fetch_corpus(ids, out_dir, n_shards=8)
+    return read_corpus(out_dir).select_columns(
+        ["doc_id", "n_bytes", "attempts", "status"]
+    )
 
 
 def _er_pages_cte(expand_k: int = 3, n_hosts: int = 50) -> str:
@@ -685,6 +708,17 @@ def oracle_sql() -> dict[str, str]:
         ),
         "deterministic_sample": (
             "SELECT doc_id FROM documents WHERE substring(md5(text), 1, 2) <= '4c'"
+        ),
+        # S9 crawler analog: payload/attempts are pure functions of the
+        # id (md5 hex repeated 1 + id % 7 times; first attempt fails when
+        # the hex starts with '0'), so the fetch pipeline is SQL-checkable
+        "crawl_corpus": (
+            "SELECT doc_id, "
+            "32 * (1 + doc_id % 7) AS n_bytes, "
+            "CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0' "
+            "THEN 2 ELSE 1 END AS attempts, "
+            "'ok' AS status "
+            "FROM (SELECT DISTINCT doc_id FROM documents)"
         ),
         # range join: all ordered within-user event pairs <= 1 hour apart
         "events_range_pairs_1h": (

@@ -1,0 +1,92 @@
+"""S9 crawler analog: retry, rate limiting, shard-resumable fetch."""
+
+import os
+import shutil
+import time
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from pubmed_and_method_ray.sources.crawler import (
+    FetchShard,
+    deterministic_fetcher,
+    fetch_corpus,
+    read_corpus,
+)
+
+OUT = "/tmp/test_crawl"
+
+
+def _ids_ds(n=200, dupes=True):
+    ids = list(range(n)) + (list(range(0, n, 3)) if dupes else [])
+    return rd.from_arrow(pa.table({"doc_id": pa.array(ids, pa.int64())}))
+
+
+class TestFetchShard:
+    def test_retry_and_payload(self):
+        stage = FetchShard()
+        out = stage(pa.table({"doc_id": pa.array(range(300), pa.int64())}))
+        df = out.to_pandas()
+        assert (df.status == "ok").all()
+        # payload = md5 hex * (1 + id % 7)
+        assert (df.n_bytes == 32 * (1 + df.doc_id % 7)).all()
+        # ~1/16 of ids need a retry (md5 hex starts with '0')
+        assert set(df.attempts) == {1, 2}
+        import hashlib
+
+        exp2 = {
+            i for i in range(300)
+            if hashlib.md5(str(i).encode()).hexdigest()[0] == "0"
+        }
+        assert set(df[df.attempts == 2].doc_id) == exp2
+
+    def test_permanent_failure_marked(self):
+        def always_fail(i, attempt):
+            raise ConnectionError("down")
+
+        stage = FetchShard(fetcher=always_fail, max_retries=2)
+        df = stage(pa.table({"doc_id": pa.array([1, 2], pa.int64())})).to_pandas()
+        assert (df.status == "failed").all()
+        assert (df.attempts == 3).all()
+        assert (df.n_bytes == 0).all()
+
+    def test_rate_limit_bounds_throughput(self):
+        stage = FetchShard(max_per_sec=50)
+        stage.bucket.tokens = 0.0  # drain the initial burst allowance
+        t0 = time.perf_counter()
+        stage(pa.table({"doc_id": pa.array(range(20), pa.int64())}))
+        elapsed = time.perf_counter() - t0
+        assert elapsed >= 20 / 50 * 0.8  # ≥ ~0.32s for 20 fetches at 50/s
+
+
+class TestFetchCorpus:
+    def setup_method(self):
+        shutil.rmtree(OUT, ignore_errors=True)
+
+    def test_fetch_dedupes_and_reads_back(self):
+        n_written = fetch_corpus(_ids_ds(120), OUT, n_shards=6)
+        assert n_written == 6
+        df = read_corpus(OUT).to_pandas()
+        assert sorted(df.doc_id) == list(range(120))  # duplicates collapsed
+        assert (df.status == "ok").all()
+
+    def test_resume_skips_completed_shards(self):
+        fetch_corpus(_ids_ds(120), OUT, n_shards=6)
+        # full rerun: nothing to do
+        assert fetch_corpus(_ids_ds(120), OUT, n_shards=6) == 0
+        # lose one shard -> exactly one refetches
+        victim = sorted(d for d in os.listdir(OUT) if d.startswith("shard="))[2]
+        shutil.rmtree(os.path.join(OUT, victim))
+        assert fetch_corpus(_ids_ds(120), OUT, n_shards=6) == 1
+        df = read_corpus(OUT).to_pandas()
+        assert sorted(df.doc_id) == list(range(120))
+
+    def test_incomplete_shard_refetched(self):
+        fetch_corpus(_ids_ds(120), OUT, n_shards=6)
+        victim = sorted(d for d in os.listdir(OUT) if d.startswith("shard="))[0]
+        os.remove(os.path.join(OUT, victim, "_manifest"))  # simulate crash
+        assert fetch_corpus(_ids_ds(120), OUT, n_shards=6) == 1
+        assert sorted(read_corpus(OUT).to_pandas().doc_id) == list(range(120))
