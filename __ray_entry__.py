@@ -90,6 +90,7 @@ def _er_match_edges(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from pubmed_and_method_ray.pipelines import (
+        analysis,
         dedup,
         multimodal,
         relational,
@@ -155,6 +156,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_range_pairs_1h": relational.events_range_pairs_1h,
         # -- S9 crawler analog (rate-limited, retrying, resumable fetch) ---
         "crawl_corpus": _crawl_corpus,
+        # -- E5 external-ID trivial baseline over the blocking universe ----
+        "external_id_baseline": analysis.external_id_baseline,
     }
 
 
@@ -196,7 +199,8 @@ def _er_pages_cte(expand_k: int = 3, n_hosts: int = 50) -> str:
         "FROM h), "
         "pg AS (SELECT doc_id, host_id, "
         "unnest(generate_series(0, k - 1)) AS j FROM p), "
-        "pgu AS (SELECT doc_id, j, 'https://www.site' || CAST(host_id AS VARCHAR) "
+        "pgu AS (SELECT doc_id, j, host_id, "
+        "'https://www.site' || CAST(host_id AS VARCHAR) "
         "|| '.example.org/e' || CAST(doc_id AS VARCHAR) || '/page' "
         "|| CAST(j AS VARCHAR) AS url, "
         "'https://www.site' || CAST(host_id AS VARCHAR) || '.example.org/e' "
@@ -708,6 +712,35 @@ def oracle_sql() -> dict[str, str]:
         ),
         "deterministic_sample": (
             "SELECT doc_id FROM documents WHERE substring(md5(text), 1, 2) <= '4c'"
+        ),
+        # E5 external-ID baseline: registry known-ness/corruption are pure
+        # functions of md5(url); pair universe = within-host pairs; the
+        # confusion counts and metrics mirror functions/metrics semantics
+        "external_id_baseline": (
+            f"{_er_pages_cte()}, reg AS ("
+            "SELECT url, doc_id, host_id, "
+            "CASE WHEN substring(md5(url), 2, 1) = 'f' THEN doc_id + 1 "
+            "ELSE doc_id END AS rid "
+            "FROM pgu WHERE substring(md5(url), 1, 1) <= 'b'), "
+            "c AS (SELECT "
+            "CAST(SUM(CASE WHEN a.doc_id = b.doc_id AND a.rid = b.rid "
+            "THEN 1 ELSE 0 END) AS BIGINT) AS tp, "
+            "CAST(SUM(CASE WHEN a.doc_id <> b.doc_id AND a.rid = b.rid "
+            "THEN 1 ELSE 0 END) AS BIGINT) AS fp, "
+            "CAST(SUM(CASE WHEN a.doc_id = b.doc_id AND a.rid <> b.rid "
+            "THEN 1 ELSE 0 END) AS BIGINT) AS fn, "
+            "CAST(SUM(CASE WHEN a.doc_id <> b.doc_id AND a.rid <> b.rid "
+            "THEN 1 ELSE 0 END) AS BIGINT) AS tn "
+            "FROM reg a JOIN reg b ON a.host_id = b.host_id AND a.url < b.url) "
+            "SELECT tp + fp + fn + tn AS n_pairs, tp, fp, fn, tn, "
+            "CAST(tp + tn AS DOUBLE) / (tp + fp + fn + tn) AS accuracy, "
+            "CASE WHEN tp + fp = 0 THEN 0.0 "
+            "ELSE CAST(tp AS DOUBLE) / (tp + fp) END AS \"precision\", "
+            "CASE WHEN tp + fn = 0 THEN 0.0 "
+            "ELSE CAST(tp AS DOUBLE) / (tp + fn) END AS recall, "
+            "CASE WHEN 2 * tp + fp + fn = 0 THEN 0.0 "
+            "ELSE CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn) END AS f1 "
+            "FROM c"
         ),
         # S9 crawler analog: payload/attempts are pure functions of the
         # id (md5 hex repeated 1 + id % 7 times; first attempt fails when

@@ -128,3 +128,24 @@ class TestExperimentRunner:
         imp = out["feature_importances"]
         assert abs(sum(imp.values()) - 1.0) < 1e-9
         assert list(imp)[0] in ("jaccard_shingles", "tfidf_cosine")
+
+
+class TestExternalIdBaseline:
+    """E5 analog: same-registry-id prediction scored over the within-host
+    pair universe (unknown ids filtered)."""
+
+    def test_metrics_shape_and_sanity(self):
+        from pubmed_and_method_ray.pipelines.analysis import external_id_baseline
+
+        df = external_id_baseline("/root/testdata/sf0.001")
+        assert len(df) == 1
+        row = df.iloc[0]
+        assert row.n_pairs == row.tp + row.fp + row.fn + row.tn
+        # the registry is imperfect by construction: corrupted ids cause
+        # misses (fn>0), but most registered ids are faithful
+        assert row.tp > 0 and row.fn > 0 and row.tn > 0
+        assert 0.5 < row.precision <= 1.0
+        assert 0.5 < row.recall < 1.0
+        assert row.f1 == 2 * row.tp / (2 * row.tp + row.fp + row.fn)
+        # hard negatives exist: within-host cross-entity pairs dominate
+        assert row.tn > row.tp
