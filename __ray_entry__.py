@@ -122,6 +122,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": text_analysis.lang_id,
         "doc_fingerprint": text_analysis.doc_fingerprint,
         "doc_rolling_fingerprint": text_analysis.doc_rolling_fingerprint,
+        "redact_pii": text_analysis.redact_pii,
         "clean_text_docs": text_analysis.clean_text_docs,
         "tag_entities": text_analysis.tag_entities,
         "doc_keywords": text_analysis.doc_keywords,
@@ -712,6 +713,29 @@ def oracle_sql() -> dict[str, str]:
         ),
         "deterministic_sample": (
             "SELECT doc_id FROM documents WHERE substring(md5(text), 1, 2) <= '4c'"
+        ),
+        # PII redaction: plant snippets (md5-parity selection, id-derived
+        # digits) then RE2 count+mask — pyarrow and DuckDB both run RE2,
+        # so counts and redacted text match exactly
+        "redact_pii": (
+            "WITH planted AS (SELECT doc_id, text || "
+            "CASE WHEN md5_number_upper(CAST(doc_id AS VARCHAR)) % 2 = 0 "
+            "THEN repeat(' contact user' || CAST(doc_id AS VARCHAR) "
+            "|| '@mail.example.com or 555-' "
+            "|| lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' "
+            "|| lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'), "
+            "CAST(1 + doc_id % 2 AS INT)) ELSE '' END AS text "
+            "FROM documents) "
+            "SELECT doc_id, "
+            "CAST(len(regexp_extract_all(text, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) "
+            "AS n_emails, "
+            "CAST(len(regexp_extract_all(text, '555-[0-9]{3}-[0-9]{4}')) "
+            "AS BIGINT) AS n_phones, "
+            "regexp_replace(regexp_replace(text, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'), "
+            "'555-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g') AS text "
+            "FROM planted"
         ),
         # E5 external-ID baseline: registry known-ness/corruption are pure
         # functions of md5(url); pair universe = within-host pairs; the

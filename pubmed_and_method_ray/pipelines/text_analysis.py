@@ -342,3 +342,73 @@ def doc_rolling_fingerprint(sf_dir: str, window: int = 8):
     return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
         f, batch_format="pyarrow"
     )
+
+
+# PII patterns — RE2-safe (no lookaround/backrefs) so pyarrow.compute's
+# RE2 kernels and DuckDB's RE2 regexp_* agree byte-for-byte
+PII_EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_PATTERN = r"555-[0-9]{3}-[0-9]{4}"
+
+
+def redact_pii_batch(texts, email_pat=PII_EMAIL_PATTERN, phone_pat=PII_PHONE_PATTERN):
+    """Generic PII scrub kernel: (redacted_text, n_emails, n_phones) for a
+    string array — vectorized end-to-end (pyarrow count/replace regex
+    kernels, zero Python loops). Counts are taken on the input text;
+    emails are masked before phones (patterns are disjoint here, but the
+    order is part of the contract)."""
+    import pyarrow.compute as pc
+
+    n_emails = pc.cast(pc.count_substring_regex(texts, email_pat), pa.int64())
+    n_phones = pc.cast(pc.count_substring_regex(texts, phone_pat), pa.int64())
+    red = pc.replace_substring_regex(texts, email_pat, "[EMAIL]")
+    red = pc.replace_substring_regex(red, phone_pat, "[PHONE]")
+    return red, n_emails, n_phones
+
+
+def redact_pii(sf_dir: str):
+    """(doc_id, n_emails, n_phones, text): PII redaction — the
+    training-data scrub pass every LLM corpus pipeline runs before
+    tokenization. The synthetic corpus carries no real PII, so the query
+    first PLANTS deterministic contact snippets into half the docs (a
+    pure function of doc_id, mirrored in the oracle's CTE: selection by
+    md5 parity, 1-2 repeats, id-derived phone digits) and then runs the
+    generic vectorized `redact_pii_batch` kernel. Single streaming
+    map_batches, no shuffle."""
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import md5_u64_array
+
+    def plant_and_redact(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).tolist()
+        sel = md5_u64_array([str(i) for i in ids]) % np.uint64(2) == 0
+        snippets = pa.array(
+            [
+                (
+                    " contact user%d@mail.example.com or 555-%03d-%04d"
+                    % (i, i % 1000, i % 10000)
+                )
+                * (1 + i % 2)
+                if s
+                else ""
+                for i, s in zip(ids, sel.tolist())
+            ],
+            pa.large_string(),
+        )
+        text = pc.binary_join_element_wise(
+            pc.cast(t["text"], pa.large_string()),
+            snippets,
+            pa.scalar("", pa.large_string()),
+        )
+        red, n_emails, n_phones = redact_pii_batch(text)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_emails": n_emails,
+                "n_phones": n_phones,
+                "text": red,
+            }
+        )
+
+    return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        plant_and_redact, batch_format="pyarrow"
+    )

@@ -126,3 +126,29 @@ class TestStageRegistry:
         assert st.name == "extract_text"
         with pytest.raises(KeyError):
             make_stage("nope")
+
+class TestRedactPii:
+    def test_kernel_counts_and_masks(self):
+        import pyarrow as pa
+
+        from pubmed_and_method_ray.pipelines.text_analysis import redact_pii_batch
+
+        texts = pa.array(
+            [
+                "mail a.b-c+1@x.example.org now",
+                "call 555-123-4567 or 555-000-1111",
+                "both: z@y.io and 555-999-0000",
+                "clean text, no pii",
+                "at sign only @ not an email; 555-12-34 not a phone",
+            ],
+            pa.large_string(),
+        )
+        red, n_em, n_ph = redact_pii_batch(texts)
+        assert n_em.to_pylist() == [1, 0, 1, 0, 0]
+        assert n_ph.to_pylist() == [0, 2, 1, 0, 0]
+        out = red.to_pylist()
+        assert out[0] == "mail [EMAIL] now"
+        assert out[1] == "call [PHONE] or [PHONE]"
+        assert out[2] == "both: [EMAIL] and [PHONE]"
+        assert out[3] == "clean text, no pii"
+        assert out[4] == "at sign only @ not an email; 555-12-34 not a phone"
