@@ -113,6 +113,7 @@ def run_benchmarks() -> dict:
     timed("dedup_embedding_cosine", dedup.dedup_embedding_cosine)
     timed("ann_topk", similarity.ann_topk)
     timed("quality_score", text_analysis.quality_score)
+    timed("redact_pii", text_analysis.redact_pii)
     timed("doc_fingerprint", text_analysis.doc_fingerprint)
     timed("pricing_summary", relational.pricing_summary)
     timed("revenue_by_nation", relational.revenue_by_nation)

@@ -1,13 +1,16 @@
-"""Dependency-free raster codec: 24-bit uncompressed BMP and binary PPM
-(P6), both pure numpy — the ``mode="real"`` backing for the multimodal
-decode/resize stages (no PIL/ffmpeg in this environment; PNG/JPEG remain
-a declared stub boundary). Formats per the public specs:
-BITMAPFILEHEADER/BITMAPINFOHEADER (Windows BMP) and netpbm P6.
+"""Dependency-free raster codec: 24-bit uncompressed BMP, binary PPM
+(P6), and non-interlaced 8-bit PNG (RGB/RGBA, all five scanline filters;
+stdlib zlib) — the ``mode="real"`` backing for the multimodal
+decode/resize stages (no PIL/ffmpeg in this environment; JPEG/video
+remain a declared stub boundary). Formats per the public specs:
+BITMAPFILEHEADER/BITMAPINFOHEADER (Windows BMP), netpbm P6, and the PNG
+spec (RFC 2083 / ISO 15948).
 """
 
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 
@@ -104,17 +107,129 @@ def decode_ppm(payload: bytes) -> np.ndarray:
     )
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB -> PNG bytes (8-bit color type 2, filter 0
+    per scanline, single IDAT)."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim != 3 or px.shape[2] != 3:
+        raise ValueError("expected (h, w, 3) RGB array")
+    h, w, _ = px.shape
+    raw = np.zeros((h, 1 + w * 3), dtype=np.uint8)
+    raw[:, 1:] = px.reshape(h, w * 3)  # leading 0 = filter None
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw.tobytes(), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _png_unfilter_row(ft: int, row: np.ndarray, prev: np.ndarray, bpp: int) -> np.ndarray:
+    """Reconstruct one scanline in place per the PNG filter spec. `row`
+    is the filtered bytes (mutated to reconstructed), `prev` the
+    reconstructed prior scanline (zeros for the first)."""
+    if ft == 0:  # None
+        return row
+    if ft == 2:  # Up
+        row += prev
+        return row
+    if ft == 1:  # Sub — wrapping cumulative sum per byte lane
+        np.add.accumulate(row.reshape(-1, bpp), axis=0, dtype=np.uint8, out=row.reshape(-1, bpp))
+        return row
+    n = len(row)
+    if ft == 3:  # Average — left dependency: walk pixels, vector over lanes
+        row[:bpp] += prev[:bpp] // 2
+        for x in range(bpp, n, bpp):
+            left = row[x - bpp : x].astype(np.uint16)
+            up = prev[x : x + bpp].astype(np.uint16)
+            row[x : x + bpp] += ((left + up) // 2).astype(np.uint8)
+        return row
+    if ft == 4:  # Paeth
+        row[:bpp] += prev[:bpp]
+        for x in range(bpp, n, bpp):
+            a = row[x - bpp : x].astype(np.int16)
+            b = prev[x : x + bpp].astype(np.int16)
+            c = prev[x - bpp : x].astype(np.int16)
+            p = a + b - c
+            pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+            pred = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+            row[x : x + bpp] += pred.astype(np.uint8)
+        return row
+    raise ValueError(f"unknown PNG filter type {ft}")
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG bytes -> (h, w, 3) uint8 RGB. Supports 8-bit depth, color
+    types 2 (RGB) and 6 (RGBA — alpha dropped), non-interlaced, any mix
+    of the five scanline filters, multiple IDAT chunks."""
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, w = 8, None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + tag + body + crc
+        if tag == b"IHDR":
+            w, h, depth, ctype, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8 or ctype not in (2, 6) or interlace != 0:
+                raise NotImplementedError(
+                    f"unsupported PNG: depth={depth} color={ctype} "
+                    f"interlace={interlace} (8-bit RGB/RGBA non-interlaced only)"
+                )
+            bpp = 3 if ctype == 2 else 4
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    stride = 1 + w * bpp
+    if len(raw) < stride * h:
+        raise ValueError("truncated PNG pixel data")
+    lines = raw[: stride * h].reshape(h, stride)
+    out = np.zeros((h, w * bpp), dtype=np.uint8)
+    prev = np.zeros(w * bpp, dtype=np.uint8)
+    for y in range(h):
+        row = lines[y, 1:].copy()
+        prev = _png_unfilter_row(int(lines[y, 0]), row, prev, bpp)
+        out[y] = prev
+    px = out.reshape(h, w, bpp)
+    return px[:, :, :3].copy() if bpp == 4 else px
+
+
 def decode_raster(payload: bytes, media_type: str | None = None) -> np.ndarray:
     """Decode by media type, or sniff magic bytes when absent."""
     if media_type == "image/bmp" or (media_type is None and payload[:2] == b"BM"):
         return decode_bmp(payload)
+    if media_type == "image/png" or (
+        media_type is None and payload[:8] == _PNG_SIG
+    ):
+        return decode_png(payload)
     if media_type == "image/x-portable-pixmap" or (
         media_type is None and payload[:2] == b"P6"
     ):
         return decode_ppm(payload)
     raise NotImplementedError(
         f"no dependency-free decoder for {media_type or 'unknown payload'}"
-        " (PNG/JPEG/video need PIL/ffmpeg — declared stub boundary)"
+        " (JPEG/video need PIL/ffmpeg — declared stub boundary)"
     )
 
 

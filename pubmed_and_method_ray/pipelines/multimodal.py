@@ -3,7 +3,7 @@ decoded / feature-extracted in actor-pool map_batches stages.
 
 ``mode='real'`` decode/resize runs on the dependency-free numpy raster
 codec (24-bit BMP and P6 PPM, functions/raster.py) — genuinely
-exercisable in this container. PNG/JPEG and video frame extraction
+exercisable in this container. JPEG and video frame extraction
 remain a DECLARED stub boundary (NotImplementedError: they need
 PIL/ffmpeg, absent here); ``mode='fake'`` produces a deterministic
 content-hash stand-in so the oracle-checked plumbing — binary schema,
@@ -65,7 +65,7 @@ def _fake_decode(payload: bytes) -> tuple[int, int, np.ndarray]:
 class DecodePayload:
     """Actor-pool decode stage. ``mode='real'`` decodes actual rasters
     with the dependency-free numpy codec (24-bit BMP, P6 PPM —
-    functions/raster.py); PNG/JPEG/video remain a declared stub boundary
+    functions/raster.py); JPEG/video remain a declared stub boundary (PNG decodes via the zlib+numpy codec)
     (NotImplementedError: they need PIL/ffmpeg, absent here).
     ``mode='fake'`` runs the deterministic content-hash fake so the
     oracle-checked plumbing is independent of payload format. Keep

@@ -42,7 +42,11 @@ def _gradient_rgb(w=13, h=7):
 def _raster_batch(fmt="bmp", n=4):
     import numpy as np
 
-    from pubmed_and_method_ray.functions.raster import encode_bmp, encode_ppm
+    from pubmed_and_method_ray.functions.raster import (
+        encode_bmp,
+        encode_png,
+        encode_ppm,
+    )
 
     payloads, mts = [], []
     for i in range(n):
@@ -50,6 +54,9 @@ def _raster_batch(fmt="bmp", n=4):
         if fmt == "bmp":
             payloads.append(encode_bmp(px))
             mts.append("image/bmp")
+        elif fmt == "png":
+            payloads.append(encode_png(px))
+            mts.append("image/png")
         else:
             payloads.append(encode_ppm(px))
             mts.append("image/x-portable-pixmap")
@@ -107,6 +114,121 @@ class TestRasterCodec:
         with _pytest.raises(ValueError):
             decode_ppm(b"P5\n1 1\n255\n\x00")
 
+    def test_png_roundtrip(self):
+        import numpy as np
+
+        from pubmed_and_method_ray.functions.raster import decode_png, encode_png
+
+        for w, h in ((1, 1), (8, 5), (13, 7)):
+            px = _gradient_rgb(w, h)
+            assert np.array_equal(decode_png(encode_png(px)), px)
+
+    def test_png_all_filter_types(self):
+        """Decode a hand-filtered PNG exercising every scanline filter
+        (None/Sub/Up/Average/Paeth), matching the spec's reference
+        reconstruction."""
+        import struct
+        import zlib
+
+        import numpy as np
+
+        from pubmed_and_method_ray.functions.raster import (
+            _png_chunk,
+            _PNG_SIG,
+            decode_png,
+        )
+
+        rng = np.random.default_rng(7)
+        w, h, bpp = 6, 5, 3
+        px = rng.integers(0, 256, size=(h, w, bpp), dtype=np.uint8)
+        raw = px.reshape(h, w * bpp).astype(np.int16)
+
+        def paeth(a, b, c):
+            p = a + b - c
+            pa_, pb_, pc_ = abs(p - a), abs(p - b), abs(p - c)
+            if pa_ <= pb_ and pa_ <= pc_:
+                return a
+            return b if pb_ <= pc_ else c
+
+        lines = bytearray()
+        for y, ft in enumerate([0, 1, 2, 3, 4]):
+            lines.append(ft)
+            prev = raw[y - 1] if y else np.zeros(w * bpp, dtype=np.int16)
+            for x in range(w * bpp):
+                a = int(raw[y, x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                if ft == 0:
+                    f = raw[y, x]
+                elif ft == 1:
+                    f = raw[y, x] - a
+                elif ft == 2:
+                    f = raw[y, x] - b
+                elif ft == 3:
+                    f = raw[y, x] - (a + b) // 2
+                else:
+                    f = raw[y, x] - paeth(a, b, c)
+                lines.append(int(f) % 256)
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        payload = (
+            _PNG_SIG
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(lines)))
+            + _png_chunk(b"IEND", b"")
+        )
+        assert np.array_equal(decode_png(payload), px)
+
+    def test_png_rgba_drops_alpha(self):
+        import struct
+        import zlib
+
+        import numpy as np
+
+        from pubmed_and_method_ray.functions.raster import (
+            _png_chunk,
+            _PNG_SIG,
+            decode_png,
+        )
+
+        rng = np.random.default_rng(3)
+        w, h = 4, 3
+        px = rng.integers(0, 256, size=(h, w, 4), dtype=np.uint8)
+        raw = np.zeros((h, 1 + w * 4), dtype=np.uint8)
+        raw[:, 1:] = px.reshape(h, w * 4)
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 6, 0, 0, 0)
+        payload = (
+            _PNG_SIG
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(raw.tobytes()))
+            + _png_chunk(b"IEND", b"")
+        )
+        assert np.array_equal(decode_png(payload), px[:, :, :3])
+
+    def test_png_unsupported_shapes_rejected(self):
+        import struct
+        import zlib
+
+        import pytest as _pytest
+
+        from pubmed_and_method_ray.functions.raster import (
+            _png_chunk,
+            _PNG_SIG,
+            decode_png,
+        )
+
+        with _pytest.raises(ValueError):
+            decode_png(b"not a png")
+        # 16-bit depth: declared unsupported
+        ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+        payload = (
+            _PNG_SIG
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 26))
+            + _png_chunk(b"IEND", b"")
+        )
+        with _pytest.raises(NotImplementedError):
+            decode_png(payload)
+
 
 class TestDecodeActors:
     def test_real_mode_decodes_bmp_and_ppm(self):
@@ -114,7 +236,7 @@ class TestDecodeActors:
         image, features are the pixel statistics."""
         import numpy as np
 
-        for fmt in ("bmp", "ppm"):
+        for fmt in ("bmp", "ppm", "png"):
             b = _raster_batch(fmt)
             o = DecodePayload(mode="real")(b)
             assert o["width"].to_pylist() == [8, 9, 10, 11]
