@@ -123,6 +123,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": text_analysis.doc_fingerprint,
         "doc_rolling_fingerprint": text_analysis.doc_rolling_fingerprint,
         "redact_pii": text_analysis.redact_pii,
+        "approx_distinct_tokens": text_analysis.approx_distinct_tokens,
         "clean_text_docs": text_analysis.clean_text_docs,
         "tag_entities": text_analysis.tag_entities,
         "doc_keywords": text_analysis.doc_keywords,
@@ -206,6 +207,51 @@ def _er_pages_cte(expand_k: int = 3, n_hosts: int = 50) -> str:
         "|| CAST(j AS VARCHAR) AS url, "
         "'https://www.site' || CAST(host_id AS VARCHAR) || '.example.org/e' "
         "|| CAST(doc_id AS VARCHAR) || '/page0' AS page0 FROM pg)"
+    )
+
+
+def _hll_sql() -> str:
+    """HLL oracle over the documents token stream: md5 bucket/rank, a
+    generated CASE chain for the leading-zero rank (libm log2 is not
+    correctly rounded at power-of-two boundaries, so the chain compares
+    against exact integer thresholds), integer-scaled harmonic sum, and
+    the raw estimate with the exact operation order of
+    pipelines/text_analysis.hll_estimate."""
+    from pubmed_and_method_ray.pipelines.text_analysis import (
+        HLL_ALPHA,
+        HLL_M,
+        HLL_P,
+        HLL_REG_CAP,
+    )
+
+    rank_case = (
+        "CASE "
+        + " ".join(
+            f"WHEN w >= {1 << (64 - HLL_P - rank)} THEN {rank}"
+            for rank in range(1, 64 - HLL_P + 1)
+        )
+        + f" ELSE {64 - HLL_P + 1} END"
+    )
+    scale = 1 << HLL_REG_CAP
+    return (
+        "WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token "
+        "FROM documents), "
+        "v AS (SELECT md5_number_upper(token) AS v FROM tok), "
+        f"br AS (SELECT CAST(v % {HLL_M} AS BIGINT) AS bucket, "
+        f"(v >> {HLL_P}) AS w FROM v), "
+        f"r AS (SELECT bucket, LEAST({rank_case}, {HLL_REG_CAP}) AS reg FROM br), "
+        "regs AS (SELECT bucket, MAX(reg) AS reg FROM r GROUP BY bucket), "
+        "s AS (SELECT COUNT(*) AS n_used, "
+        f"CAST(SUM(CAST(1 AS BIGINT) << ({HLL_REG_CAP} - reg)) AS BIGINT) "
+        "AS s_used FROM regs) "
+        f"SELECT CAST({HLL_M} AS BIGINT) AS m, "
+        f"CAST({HLL_M} - n_used AS BIGINT) AS n_zero, "
+        f"CAST({HLL_M} - n_used AS BIGINT) * {scale} + s_used "
+        "AS harmonic_scaled, "
+        f"((CAST({HLL_ALPHA!r} AS DOUBLE) * CAST({HLL_M} AS DOUBLE) "
+        f"* CAST({HLL_M} AS DOUBLE)) * CAST({scale} AS DOUBLE)) / "
+        f"CAST(CAST({HLL_M} - n_used AS BIGINT) * {scale} + s_used AS DOUBLE) "
+        "AS estimate FROM s"
     )
 
 
@@ -714,6 +760,9 @@ def oracle_sql() -> dict[str, str]:
         "deterministic_sample": (
             "SELECT doc_id FROM documents WHERE substring(md5(text), 1, 2) <= '4c'"
         ),
+        # HLL approximate distinct tokens: md5 bucket/rank sketch with
+        # integer-exact harmonic sum (see _hll_sql)
+        "approx_distinct_tokens": _hll_sql(),
         # PII redaction: plant snippets (md5-parity selection, id-derived
         # digits) then RE2 count+mask — pyarrow and DuckDB both run RE2,
         # so counts and redacted text match exactly

@@ -412,3 +412,85 @@ def redact_pii(sf_dir: str):
     return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
         plant_and_redact, batch_format="pyarrow"
     )
+
+
+# --- HyperLogLog-style approximate distinct count (Flajolet et al. 2007)
+# p=12 -> 4096 registers; md5-derived bucket/rank so the whole sketch is
+# bit-reproducible in SQL (md5_number_upper + a generated CASE chain for
+# the leading-zero rank). Ranks cap at REG_CAP so the harmonic sum stays
+# an EXACT integer at scale 2^REG_CAP (max 4096 * 2^47 = 2^59 < int64):
+# float arithmetic happens exactly once, in the final estimate division,
+# with identical operation order on both sides.
+HLL_P = 12
+HLL_M = 1 << HLL_P  # 4096 registers
+HLL_REG_CAP = 47
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+
+
+def hll_partial_registers(tokens: list[str]) -> np.ndarray:
+    """uint8[HLL_M] register array for a token batch (max of ranks per
+    bucket). Tokens are md5-hashed once per distinct string."""
+    from ..functions.hashing import md5_u64_array
+
+    v = md5_u64_array(list(dict.fromkeys(tokens)))
+    bucket = (v % np.uint64(HLL_M)).astype(np.int64)
+    w = (v >> np.uint64(HLL_P)).astype(np.float64)  # 52 bits: exact in f64
+    _, bitlen = np.frexp(w)
+    rank = np.where(w > 0, 53 - bitlen, 53)
+    reg = np.minimum(rank, HLL_REG_CAP).astype(np.uint8)
+    out = np.zeros(HLL_M, dtype=np.uint8)
+    np.maximum.at(out, bucket, reg)
+    return out
+
+
+def hll_estimate(n_zero: int, harmonic_scaled: int) -> float:
+    """Raw HLL estimate from the integer-scaled harmonic sum — no
+    small/large-range corrections (documented; corrections would need a
+    libm log whose rounding the SQL engine need not share)."""
+    return ((HLL_ALPHA * float(HLL_M) * float(HLL_M)) * float(1 << HLL_REG_CAP)) / float(
+        harmonic_scaled
+    )
+
+
+def approx_distinct_tokens(sf_dir: str):
+    """(m, n_zero, harmonic_scaled, estimate): approximate distinct
+    token count over all document text — the vocabulary-size sketch a
+    corpus pipeline runs where COUNT(DISTINCT) would shuffle the full
+    token stream. Constant-size state end-to-end: each batch pre-folds
+    its tokens into a 4096-register partial (registers merge by max, so
+    duplicate tokens across batches are free), the ONE exchange carries
+    at most 4096 rows per batch, and the driver reduces 4096 rows."""
+    import pandas as pd
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks: list[str] = []
+        for x in t["text"].to_pylist():
+            toks.extend((x or "").split(" "))
+        regs = hll_partial_registers(toks)
+        nz = np.flatnonzero(regs)
+        return pa.table(
+            {
+                "bucket": pa.array(nz.astype(np.int64), pa.int64()),
+                "reg": pa.array(regs[nz].astype(np.int64), pa.int64()),
+            }
+        )
+
+    rows = (
+        _read_documents(sf_dir, ["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket", num_partitions=shuffle_partitions())
+        .max("reg")
+        .to_pandas()
+    )
+    n_zero = HLL_M - len(rows)
+    harmonic = n_zero * (1 << HLL_REG_CAP) + int(
+        np.sum(1 << (HLL_REG_CAP - rows["max(reg)"].to_numpy(dtype=np.int64)))
+    )
+    return pd.DataFrame(
+        {
+            "m": [HLL_M],
+            "n_zero": [n_zero],
+            "harmonic_scaled": [harmonic],
+            "estimate": [hll_estimate(n_zero, harmonic)],
+        }
+    )

@@ -80,17 +80,26 @@ def _bands_matrix(group: pa.Table) -> np.ndarray:
     return out
 
 def n_pair_buckets() -> int:
-    """Hash-exchange partition count for pair generation: one per CPU —
-    full downstream task parallelism; more than that only adds hash
-    aggregator-actor churn on a single node (measured: 32 partitions
-    4.6s vs 64 partitions 7.8s on the same exchange)."""
+    """Hash-exchange partition count for pair generation: TWO per CPU.
+
+    The downstream bucket task (local banding + fused pair-gen +
+    featurize + score) dominates this exchange's wall time and its
+    per-partition work is skewed (ds.stats at sf0.1/32cpus: 32 tasks,
+    UDF 1ms min / 18.9s max / 12.7s mean) — at one partition per CPU the
+    single slowest partition gates the whole stage. Two per CPU lets the
+    scheduler pack around stragglers: three interleaved trials on the
+    same 199,826-page input measured 32 partitions {47.4, 71.3, 60.0}s
+    vs 64 partitions {32.3, 76.3, 27.2}s end-to-end — min-per-side 47.4
+    vs 27.2 on a box that drifts ±40%. (An earlier exchange-only
+    measurement preferred one per CPU — that held only while the
+    shuffle, not the bucket UDF, was the bottleneck.)"""
     try:
         import ray
 
         cpus = int(ray.cluster_resources().get("CPU", 8))
     except Exception:
         cpus = 8
-    return max(4, min(64, cpus))
+    return max(4, min(128, 2 * cpus))
 
 PAYLOAD_COLS = [
     "url",

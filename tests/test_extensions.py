@@ -152,3 +152,43 @@ class TestRedactPii:
         assert out[2] == "both: [EMAIL] and [PHONE]"
         assert out[3] == "clean text, no pii"
         assert out[4] == "at sign only @ not an email; 555-12-34 not a phone"
+
+
+class TestHllSketch:
+    def test_estimate_within_error_bound(self):
+        import numpy as np
+
+        from pubmed_and_method_ray.pipelines.text_analysis import (
+            HLL_M,
+            HLL_REG_CAP,
+            hll_estimate,
+            hll_partial_registers,
+        )
+
+        n = 100_000
+        regs = np.zeros(HLL_M, dtype=np.uint8)
+        for lo in range(0, n, 20_000):  # merge across batches by max
+            batch = [f"tok{i}" for i in range(lo, min(n, lo + 20_000))]
+            regs = np.maximum(regs, hll_partial_registers(batch))
+        n_zero = int((regs == 0).sum())
+        harmonic = n_zero * (1 << HLL_REG_CAP) + int(
+            np.sum(1 << (HLL_REG_CAP - regs[regs > 0].astype(np.int64)))
+        )
+        est = hll_estimate(n_zero, harmonic)
+        # std error for m=4096 is ~1.04/sqrt(m) = 1.6%; allow 5%
+        assert abs(est - n) / n < 0.05
+
+    def test_registers_merge_by_max_and_dedupe(self):
+        import numpy as np
+
+        from pubmed_and_method_ray.pipelines.text_analysis import (
+            hll_partial_registers,
+        )
+
+        a = [f"t{i}" for i in range(500)]
+        b = [f"t{i}" for i in range(250, 750)]
+        merged = np.maximum(hll_partial_registers(a), hll_partial_registers(b))
+        whole = hll_partial_registers(a + b)
+        assert np.array_equal(merged, whole)
+        # duplicates are free: register state is max-idempotent
+        assert np.array_equal(whole, hll_partial_registers(a + b + a))
