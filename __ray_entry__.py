@@ -156,6 +156,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rank_docs": relational.rank_docs,
         "events_asof_prev_click": relational.events_asof_prev_click,
         "events_range_pairs_1h": relational.events_range_pairs_1h,
+        "bloom_semi_join": relational.bloom_semi_join,
         # -- S9 crawler analog (rate-limited, retrying, resumable fetch) ---
         "crawl_corpus": _crawl_corpus,
         # -- E5 external-ID trivial baseline over the blocking universe ----
@@ -759,6 +760,26 @@ def oracle_sql() -> dict[str, str]:
         ),
         "deterministic_sample": (
             "SELECT doc_id FROM documents WHERE substring(md5(text), 1, 2) <= '4c'"
+        ),
+        # Bloom semi-join pre-filter: the oracle reconstructs the exact
+        # bitmap (distinct md5-derived positions over the build side) and
+        # passes a probe key iff EVERY hash function's bit is set — so
+        # the deterministic false positives match too
+        "bloom_semi_join": (
+            "WITH i AS (SELECT unnest([0, 1, 2]) AS i), "
+            "urgent AS (SELECT DISTINCT o_orderkey FROM orders "
+            "WHERE o_orderpriority = '1-URGENT'), "
+            "bits AS (SELECT DISTINCT CAST(md5_number_upper("
+            "CAST(o_orderkey AS VARCHAR) || '#' || CAST(i AS VARCHAR)) "
+            "% 65536 AS BIGINT) AS pos FROM urgent CROSS JOIN i), "
+            "probe AS (SELECT l_orderkey, i, "
+            "CAST(md5_number_upper(CAST(l_orderkey AS VARCHAR) || '#' "
+            "|| CAST(i AS VARCHAR)) % 65536 AS BIGINT) AS pos "
+            "FROM (SELECT DISTINCT l_orderkey FROM lineitem) CROSS JOIN i), "
+            "pass_keys AS (SELECT l_orderkey FROM probe JOIN bits USING (pos) "
+            "GROUP BY l_orderkey HAVING COUNT(DISTINCT i) = 3) "
+            "SELECT l.l_orderkey, l.l_linenumber "
+            "FROM lineitem l JOIN pass_keys USING (l_orderkey)"
         ),
         # HLL approximate distinct tokens: md5 bucket/rank sketch with
         # integer-exact harmonic sum (see _hll_sql)

@@ -1133,3 +1133,67 @@ def events_range_pairs_1h(sf_dir: str):
         window=3_600_000_000,
         emit_cols=["event_id"],
     )
+
+
+def bloom_semi_join(sf_dir: str, m_bits: int = 1 << 16, k: int = 3):
+    """Bloom-filter semi-join pre-filter: keep lineitem rows whose order
+    key *passes* a Bloom filter built from urgent orders — the
+    shuffle-free first stage of a selective distributed join. The bitmap
+    is built with constant-size state (per-batch distinct bit positions,
+    one tiny distinct exchange, driver fold of <= m rows) and broadcast
+    ONCE via ray.put; the probe side streams with no shuffle at all. At
+    100 TB the residue (true matches + the ~(1 - e^(-kn/m))^k false
+    positives) is what the exact join afterwards sees — m is sized ~10
+    bits per build key there; it is 64 Ki here to keep a measurable,
+    deterministic false-positive band. Bit positions are
+    md5(key || '#' || i) mod m, so the filter's exact pass set —
+    INCLUDING its false positives — is reproduced by the SQL oracle."""
+    import ray
+
+    from ..functions.hashing import md5_u64_array
+
+    def positions_for(keys: np.ndarray, i: int) -> np.ndarray:
+        return (
+            md5_u64_array([f"{v}#{i}" for v in keys.tolist()])
+            % np.uint64(m_bits)
+        ).astype(np.int64)
+
+    def build_positions(t: pa.Table) -> pa.Table:
+        sel = pc.equal(t["o_orderpriority"], "1-URGENT")
+        keys = np.unique(
+            t.filter(sel)["o_orderkey"].to_numpy(zero_copy_only=False)
+        )
+        if len(keys) == 0:
+            return pa.table({"pos": pa.array([], pa.int64())})
+        allp = np.unique(
+            np.concatenate([positions_for(keys, i) for i in range(k)])
+        )
+        return pa.table({"pos": pa.array(allp, pa.int64())})
+
+    pos_rows = (
+        _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+        .map_batches(build_positions, batch_format="pyarrow")
+        .groupby("pos", num_partitions=shuffle_partitions())
+        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+        .to_pandas()
+    )
+    bits = np.zeros(m_bits, dtype=bool)
+    bits[pos_rows["pos"].to_numpy(dtype=np.int64)] = True
+    ref = ray.put(bits)
+
+    def probe(t: pa.Table) -> pa.Table:
+        from ..stages.mention_prep import get_broadcast
+
+        b = get_broadcast(ref)
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, inv = np.unique(ok, return_inverse=True)
+        mask_u = np.ones(len(uniq), dtype=bool)
+        for i in range(k):
+            mask_u &= b[positions_for(uniq, i)]
+        return t.filter(pa.array(mask_u[inv])).select(
+            ["l_orderkey", "l_linenumber"]
+        )
+
+    return _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"]).map_batches(
+        probe, batch_format="pyarrow"
+    )

@@ -192,3 +192,29 @@ class TestHllSketch:
         assert np.array_equal(merged, whole)
         # duplicates are free: register state is max-idempotent
         assert np.array_equal(whole, hll_partial_registers(a + b + a))
+
+
+class TestBloomSemiJoin:
+    def test_no_false_negatives_and_multiplicity(self):
+        import pyarrow.parquet as pq
+
+        from pubmed_and_method_ray.pipelines.relational import bloom_semi_join
+
+        sf = "/root/testdata/sf0.001"
+        out = bloom_semi_join(sf).to_pandas()
+        orders = pq.read_table(
+            f"{sf}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+        ).to_pandas()
+        li = pq.read_table(
+            f"{sf}/lineitem.parquet", columns=["l_orderkey"]
+        ).to_pandas()
+        urgent = set(
+            orders[orders.o_orderpriority == "1-URGENT"].o_orderkey
+        ) & set(li.l_orderkey)
+        got = set(out.l_orderkey)
+        # Bloom guarantee: every true member passes
+        assert urgent <= got
+        # pass set stays close to truth (fp rate ~(1-e^-kn/m)^k, tiny here)
+        assert len(got) <= len(urgent) * 1.05 + 10
+        # probe is a row filter: multiplicity of passing keys preserved
+        assert len(out) == int(li.l_orderkey.isin(got).sum())
