@@ -124,6 +124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_rolling_fingerprint": text_analysis.doc_rolling_fingerprint,
         "redact_pii": text_analysis.redact_pii,
         "approx_distinct_tokens": text_analysis.approx_distinct_tokens,
+        "heavy_hitters_cms": text_analysis.heavy_hitters_cms,
         "clean_text_docs": text_analysis.clean_text_docs,
         "tag_entities": text_analysis.tag_entities,
         "doc_keywords": text_analysis.doc_keywords,
@@ -784,6 +785,25 @@ def oracle_sql() -> dict[str, str]:
         # HLL approximate distinct tokens: md5 bucket/rank sketch with
         # integer-exact harmonic sum (see _hll_sql)
         "approx_distinct_tokens": _hll_sql(),
+        # Count-Min heavy hitters: the sketch is all integer counts, so
+        # the oracle rebuilds the same d x w counters and reproduces the
+        # top-k INCLUDING collision overestimates; ties at the cut break
+        # by token asc on both sides
+        "heavy_hitters_cms": (
+            "WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token "
+            "FROM documents), "
+            "i AS (SELECT unnest([0, 1, 2, 3]) AS i), "
+            "counters AS (SELECT i, CAST(md5_number_upper(token || '#' || "
+            "CAST(i AS VARCHAR)) % 8192 AS BIGINT) AS pos, "
+            "COUNT(*) AS cnt FROM tok CROSS JOIN i GROUP BY i, pos), "
+            "cand AS (SELECT DISTINCT token FROM tok), "
+            "probe AS (SELECT c.token, i.i, CAST(md5_number_upper(c.token "
+            "|| '#' || CAST(i.i AS VARCHAR)) % 8192 AS BIGINT) AS pos "
+            "FROM cand c CROSS JOIN i) "
+            "SELECT token, CAST(MIN(cnt) AS BIGINT) AS est_count "
+            "FROM probe JOIN counters USING (i, pos) GROUP BY token "
+            "ORDER BY est_count DESC, token ASC LIMIT 20"
+        ),
         # PII redaction: plant snippets (md5-parity selection, id-derived
         # digits) then RE2 count+mask — pyarrow and DuckDB both run RE2,
         # so counts and redacted text match exactly

@@ -494,3 +494,112 @@ def approx_distinct_tokens(sf_dir: str):
             "estimate": [hll_estimate(n_zero, harmonic)],
         }
     )
+
+
+# --- Count-Min Sketch heavy hitters (Cormode & Muthukrishnan 2005) ----
+# d=4 hash rows x w=8192 counters. All state is integer counts, so the
+# SQL oracle reproduces the sketch (and therefore the top-k and its
+# overestimates) exactly — positions are md5(token || '#' || row) mod w,
+# the same construction the Bloom/HLL operators use.
+CMS_D = 4
+CMS_W = 8192
+
+
+def cms_positions(tokens: list[str], row: int) -> np.ndarray:
+    from ..functions.hashing import md5_u64_array
+
+    return (
+        md5_u64_array([f"{t}#{row}" for t in tokens]) % np.uint64(CMS_W)
+    ).astype(np.int64)
+
+
+def heavy_hitters_cms(sf_dir: str, k: int = 20):
+    """(token, est_count): top-k most frequent tokens by Count-Min
+    estimate — the heavy-hitter pass a corpus pipeline runs where exact
+    per-token counts would be a vocabulary-sized shuffle of counters.
+
+    Two constant-state stages: (1) per-batch partial CMS counters
+    (occurrence counts, np.add.at), one <= d*w-row exchange summing
+    them, driver fold to the d x w array, broadcast via ray.put;
+    (2) distinct tokens -> vectorized min-over-rows estimate ->
+    per-partition top-k pre-reduction -> tiny driver merge. Ties at the
+    cut break by token asc, so the top-k set is deterministic; CMS
+    overestimates (hash collisions) are part of the contract and are
+    reproduced by the oracle."""
+    import pandas as pd
+    import ray
+
+    def partial_counters(t: pa.Table) -> pa.Table:
+        toks: list[str] = []
+        for x in t["text"].to_pylist():
+            toks.extend((x or "").split(" "))
+        uniq, cnt = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+        rows_, poss, cnts = [], [], []
+        ul = uniq.tolist()
+        for row in range(CMS_D):
+            pos = cms_positions(ul, row)
+            agg = np.zeros(CMS_W, dtype=np.int64)
+            np.add.at(agg, pos, cnt)
+            nz = np.flatnonzero(agg)
+            rows_.append(np.full(len(nz), row, dtype=np.int64))
+            poss.append(nz)
+            cnts.append(agg[nz])
+        return pa.table(
+            {
+                "row": pa.array(np.concatenate(rows_), pa.int64()),
+                "pos": pa.array(np.concatenate(poss), pa.int64()),
+                "cnt": pa.array(np.concatenate(cnts), pa.int64()),
+            }
+        )
+
+    docs = _read_documents(sf_dir, ["text"])
+    counters = (
+        docs.map_batches(partial_counters, batch_format="pyarrow")
+        .groupby(["row", "pos"], num_partitions=shuffle_partitions())
+        .sum("cnt")
+        .to_pandas()
+    )
+    cms = np.zeros((CMS_D, CMS_W), dtype=np.int64)
+    cms[
+        counters["row"].to_numpy(dtype=np.int64),
+        counters["pos"].to_numpy(dtype=np.int64),
+    ] = counters["sum(cnt)"].to_numpy(dtype=np.int64)
+    ref = ray.put(cms)
+
+    def topk_partition(t: pa.Table) -> pa.Table:
+        from ..stages.mention_prep import get_broadcast
+
+        sketch = get_broadcast(ref)
+        toks = t["token"].to_pylist()
+        est = np.full(len(toks), np.iinfo(np.int64).max, dtype=np.int64)
+        for row in range(CMS_D):
+            est = np.minimum(est, sketch[row, cms_positions(toks, row)])
+        order = np.lexsort((np.asarray(toks, dtype=object), -est))[:k]
+        return pa.table(
+            {
+                "token": pa.array([toks[i] for i in order], pa.string()),
+                "est_count": pa.array(est[order], pa.int64()),
+            }
+        )
+
+    def explode_tokens(t: pa.Table) -> pa.Table:
+        toks: list[str] = []
+        for x in t["text"].to_pylist():
+            toks.extend((x or "").split(" "))
+        return pa.table(
+            {"token": pa.array(list(dict.fromkeys(toks)), pa.string())}
+        )
+
+    candidates = (
+        docs.map_batches(explode_tokens, batch_format="pyarrow")
+        .groupby("token", num_partitions=shuffle_partitions())
+        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+        .map_batches(topk_partition, batch_format="pyarrow")
+        .to_pandas()
+    )
+    top = candidates.sort_values(
+        ["est_count", "token"], ascending=[False, True], kind="mergesort"
+    ).head(k)
+    return pd.DataFrame(
+        {"token": top["token"].to_numpy(), "est_count": top["est_count"].to_numpy()}
+    )

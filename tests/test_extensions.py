@@ -218,3 +218,25 @@ class TestBloomSemiJoin:
         assert len(got) <= len(urgent) * 1.05 + 10
         # probe is a row filter: multiplicity of passing keys preserved
         assert len(out) == int(li.l_orderkey.isin(got).sum())
+
+
+class TestCmsHeavyHitters:
+    def test_never_underestimates_and_finds_head(self):
+        from collections import Counter
+
+        import pyarrow.parquet as pq
+
+        from pubmed_and_method_ray.pipelines.text_analysis import heavy_hitters_cms
+
+        sf = "/root/testdata/sf0.001"
+        out = heavy_hitters_cms(sf, k=10)
+        texts = pq.read_table(f"{sf}/documents.parquet", columns=["text"])[
+            "text"
+        ].to_pylist()
+        truth = Counter(w for t in texts for w in (t or "").split(" "))
+        assert len(out) == 10
+        for token, est in zip(out.token, out.est_count):
+            assert est >= truth[token]  # CMS one-sided error
+        # the true most frequent token survives sketching into the top set
+        top_true = max(truth, key=lambda w: (truth[w], w))
+        assert top_true in set(out.token)
