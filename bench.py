@@ -114,6 +114,8 @@ def run_benchmarks() -> dict:
     timed("ann_topk", similarity.ann_topk)
     timed("quality_score", text_analysis.quality_score)
     timed("redact_pii", text_analysis.redact_pii)
+    timed("approx_distinct_tokens", text_analysis.approx_distinct_tokens)
+    timed("heavy_hitters_cms", text_analysis.heavy_hitters_cms)
     timed("doc_fingerprint", text_analysis.doc_fingerprint)
     timed("pricing_summary", relational.pricing_summary)
     timed("revenue_by_nation", relational.revenue_by_nation)
@@ -163,16 +165,35 @@ def run_scaling() -> dict:
     # hi, ...) and each side takes its min: this box's throughput drifts
     # ±40% over tens of minutes, so back-to-back whole legs would compare
     # different machine states.
+    # pure-CPU burn kernel for the hardware-ceiling control, run
+    # INTERLEAVED with the engine trials: this box's throughput drifts
+    # ±40% over tens of minutes, so a ceiling measured after the legs
+    # (the old protocol) samples a different machine state than the legs
+    # it is meant to normalize.
+    import importlib.util as _ilu
+
+    _spec = _ilu.spec_from_file_location(
+        "cpu_burn_control",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "tools", "cpu_burn_control.py"),
+    )
+    _burn = _ilu.module_from_spec(_spec)
+    _spec.loader.exec_module(_burn)
+
     def leg(lo: int, hi: int, rounds: int | None = None) -> dict:
         rounds = rounds or int(os.environ.get("GRAFT_SCALING_TRIALS", "4"))
         best: dict[int, dict] = {}
+        burn_best: dict[int, float] = {lo: 0.0, hi: 0.0}
         for _ in range(rounds):
             for ncpu in (lo, hi):
                 r = run_at(ncpu)
                 if ncpu not in best or r["value"] < best[ncpu]["value"]:
                     best[ncpu] = r
+                burn_best[ncpu] = max(burn_best[ncpu], _burn.run_side(ncpu))
         r_lo, r_hi = best[lo], best[hi]
         t_lo, t_hi = r_lo["value"], r_hi["value"]
+        eff = round((t_lo / t_hi) / (hi / lo), 3)
+        ceil = round((burn_best[hi] / burn_best[lo]) / (hi / lo), 3)
         return {
             "cpus_lo": lo,
             "cpus_hi": hi,
@@ -180,44 +201,24 @@ def run_scaling() -> dict:
             "sec_hi": t_hi,
             "pages_per_sec_lo": r_lo["pages_per_sec"],
             "pages_per_sec_hi": r_hi["pages_per_sec"],
-            "scaling_efficiency": round((t_lo / t_hi) / (hi / lo), 3),
+            "scaling_efficiency": eff,
+            "hw_ceiling": ceil,
+            "engine_vs_ceiling": round(eff / ceil, 3),
             "pages": r_hi["pages"],
         }
 
     main_leg = leg(4, 16)
     wide_leg = leg(8, 32)
 
-    # same-day hardware ceiling: this container's 32-core throughput
-    # degrades over its lifetime, so the engine's efficiency is only
-    # interpretable against a pure-CPU control measured in the SAME
-    # session (tools/cpu_burn_control.py)
-    def ceiling(lo: int, hi: int) -> float:
-        out = subprocess.run(
-            [
-                sys.executable,
-                os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             "tools", "cpu_burn_control.py"),
-                str(lo), str(hi), "2",
-            ],
-            capture_output=True, text=True, check=True,
-        ).stdout
-        return json.loads(out.strip().splitlines()[-1])["efficiency"]
-
-    ceil_main = ceiling(4, 16)
-    ceil_wide = ceiling(8, 32)
     return {
         "metric": "scaling_efficiency",
         **main_leg,
         "scaling_efficiency_8_32": wide_leg["scaling_efficiency"],
         "leg_8_32": wide_leg,
-        "hw_ceiling_4_16": ceil_main,
-        "hw_ceiling_8_32": ceil_wide,
-        "engine_vs_ceiling_4_16": round(
-            main_leg["scaling_efficiency"] / ceil_main, 3
-        ),
-        "engine_vs_ceiling_8_32": round(
-            wide_leg["scaling_efficiency"] / ceil_wide, 3
-        ),
+        "hw_ceiling_4_16": main_leg["hw_ceiling"],
+        "hw_ceiling_8_32": wide_leg["hw_ceiling"],
+        "engine_vs_ceiling_4_16": main_leg["engine_vs_ceiling"],
+        "engine_vs_ceiling_8_32": wide_leg["engine_vs_ceiling"],
         "sf": SF_DIR,
     }
 

@@ -27,10 +27,19 @@ def _configure_ray_data() -> None:
 
         ctx = DataContext.get_current()
         ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
-        # aggregator pools are actors: fractional CPU per partition so a
-        # shuffle with more partitions than CPUs schedules instead of
-        # deadlocking on small clusters / test sessions
-        ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.25
+        # Aggregator pools are actors holding LOGICAL CPUs for the whole
+        # exchange lifetime. For Shuffle (keyed repartition + every
+        # groupby().map_groups) the aggregators only concatenate received
+        # partitions — measured 2.9 cpu-s of finalize work while their
+        # reservation idled HALF the cluster (0.25 x 64 partitions = 16 of
+        # 32 CPUs) through the downstream featurize/score tasks; 0.05 per
+        # partition freed them: pair exchange 42.8s -> 28.7s min-per-side
+        # interleaved at 32 cpus / 400k pages. Native aggregates and joins
+        # do real reduction work inside their aggregators, so they keep
+        # the larger reservation (still fractional so a shuffle with more
+        # partitions than CPUs schedules instead of deadlocking on small
+        # clusters / test sessions).
+        ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.05
         ctx.hash_aggregate_operator_actor_num_cpus_per_partition_override = 0.25
         ctx.join_operator_actor_num_cpus_per_partition_override = 0.25
     except Exception:  # pragma: no cover - older/newer ray fallback

@@ -80,26 +80,25 @@ def _bands_matrix(group: pa.Table) -> np.ndarray:
     return out
 
 def n_pair_buckets() -> int:
-    """Hash-exchange partition count for pair generation: TWO per CPU.
+    """Hash-exchange partition count for pair generation: one per CPU.
 
-    The downstream bucket task (local banding + fused pair-gen +
-    featurize + score) dominates this exchange's wall time and its
-    per-partition work is skewed (ds.stats at sf0.1/32cpus: 32 tasks,
-    UDF 1ms min / 18.9s max / 12.7s mean) — at one partition per CPU the
-    single slowest partition gates the whole stage. Two per CPU lets the
-    scheduler pack around stragglers: three interleaved trials on the
-    same 199,826-page input measured 32 partitions {47.4, 71.3, 60.0}s
-    vs 64 partitions {32.3, 76.3, 27.2}s end-to-end — min-per-side 47.4
-    vs 27.2 on a box that drifts ±40%. (An earlier exchange-only
-    measurement preferred one per CPU — that held only while the
-    shuffle, not the bucket UDF, was the bottleneck.)"""
+    Tuning history matters here: with Ray's default aggregator
+    reservation (0.25 logical CPU x partitions held for the exchange
+    lifetime), TWO partitions per CPU measured faster — but that "win"
+    was mostly the reservation artifact itself being masked by better
+    task packing. With the engine's 0.05-per-partition override
+    (pubmed_and_method_ray/__init__.py), interleaved trials on the same
+    199,826-page input at 32 cpus measure 32 partitions min 20.8s vs 64
+    partitions 29.2s vs 96 partitions 31.6s: per-partition banding/dedup
+    overhead and the extra finalize round-trips outweigh straggler
+    packing (per-partition UDF skew is only ~1.5x mean)."""
     try:
         import ray
 
         cpus = int(ray.cluster_resources().get("CPU", 8))
     except Exception:
         cpus = 8
-    return max(4, min(128, 2 * cpus))
+    return max(4, min(64, cpus))
 
 PAYLOAD_COLS = [
     "url",
