@@ -240,3 +240,18 @@ class TestCmsHeavyHitters:
         # the true most frequent token survives sketching into the top set
         top_true = max(truth, key=lambda w: (truth[w], w))
         assert top_true in set(out.token)
+
+
+class TestEngineDataContext:
+    def test_shuffle_aggregator_reservation_override(self):
+        """Guard the engine-wide context defaults: Ray's stock 0.25-CPU-
+        per-partition shuffle-aggregator reservation idles half the
+        cluster through downstream map stages (see __init__.py)."""
+        from ray.data.context import DataContext, ShuffleStrategy
+
+        import pubmed_and_method_ray  # noqa: F401 — applies the config
+
+        ctx = DataContext.get_current()
+        assert ctx.shuffle_strategy == ShuffleStrategy.HASH_SHUFFLE
+        assert ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override == 0.05
+        assert ctx.hash_aggregate_operator_actor_num_cpus_per_partition_override == 0.25
