@@ -92,12 +92,15 @@ def n_pair_buckets() -> int:
     partitions 29.2s vs 96 partitions 31.6s: per-partition banding/dedup
     overhead and the extra finalize round-trips outweigh straggler
     packing (per-partition UDF skew is only ~1.5x mean)."""
+    from ..rayutil import _tune_aggregator_pool
+
     try:
         import ray
 
         cpus = int(ray.cluster_resources().get("CPU", 8))
     except Exception:
         cpus = 8
+    _tune_aggregator_pool(cpus)
     return max(4, min(64, cpus))
 
 PAYLOAD_COLS = [
