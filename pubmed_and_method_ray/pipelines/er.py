@@ -114,7 +114,8 @@ def run_er_pipeline(
         PIPELINE_VERSION, "mentions", input_id, use_tfidf, idf_sample_mod, idf_id
     )
     fp_scored = ckpt.fingerprint(
-        fp_mentions, "scored", n_max, keep_gold, model_id, threshold
+        fp_mentions, "scored", n_max, keep_gold, model_id, threshold,
+        prune_hamming,
     )
     fp_clusters = ckpt.fingerprint(fp_scored, "clusters", cc_method)
     stage_fps = {

@@ -32,12 +32,18 @@ class Stage(Protocol):
 
 @dataclass
 class FnStage:
-    """Adapter: wrap any Dataset -> Dataset callable as a Stage."""
+    """Adapter: wrap any Dataset -> Dataset callable as a Stage.
+
+    ``params`` holds the stage's effective configuration; it is folded
+    into the checkpoint fingerprint so rerunning the same workdir with a
+    different parameter value invalidates the stage (and everything
+    downstream) instead of silently reusing stale data."""
 
     name: str
     fn: Callable
     version: str = "1"
     kwargs: dict = field(default_factory=dict)
+    params: tuple = ()
 
     def apply(self, ds):
         return self.fn(ds, **self.kwargs)
@@ -71,7 +77,9 @@ def run_pipeline(ds, stages: list[Stage], workdir: str | None = None):
     ``{workdir}/{stage.name}`` and resume from completed checkpoints."""
     fp = ""
     for stage in stages:
-        fp = ckpt.fingerprint(fp, stage.name, stage.version)
+        fp = ckpt.fingerprint(
+            fp, stage.name, stage.version, getattr(stage, "params", ())
+        )
         out = None
         if workdir:
             stage_dir = os.path.join(workdir, stage.name)
@@ -112,6 +120,7 @@ def _normalize_stage_factory(idf_ref=None, **kwargs):
             normalize_batch, fn_kwargs={"idf_ref": idf_ref}, batch_format="pyarrow"
         ),
         version="1",
+        params=(idf_ref is not None,),
     )
 
 
@@ -134,5 +143,6 @@ def _pair_features_factory(
             model_ref=model_ref,
             prune_hamming=prune_hamming,
         ),
-        version="1",
+        version="2",
+        params=(n_max, keep_gold, prune_hamming, model_ref is not None),
     )

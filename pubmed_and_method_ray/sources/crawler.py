@@ -122,8 +122,19 @@ def fetch_corpus(
     """Fetch every distinct id into ``out_dir`` as resumable Parquet
     shards; returns the number of shards fetched THIS call (0 on a fully
     resumed rerun). Shard s holds ids with md5_u64(id) % n_shards == s;
-    a shard directory with a complete ``_manifest`` is skipped — the
-    partition-grained analog of the reference's per-file exists-check.
+    a shard directory with a complete ``_manifest`` (and zero failed
+    rows) is skipped — the partition-grained analog of the reference's
+    per-file exists-check. A shard sealed WITH permanently-failed rows
+    is re-enqueued on the next run: its ok rows are kept and only the
+    failed/missing ids are refetched (the reference downloader's resume
+    re-attempts anything not successfully written).
+
+    ``out_dir`` MUST be on a filesystem shared by the driver and every
+    worker node (NFS / fuse-mounted object store): shard tasks write
+    files that the driver-side done() check and ``read_corpus`` read
+    back by path. On a cluster without shared storage, point ``out_dir``
+    at an object-store URI-backed mount or replace the shard writer with
+    ``Dataset.write_parquet`` against remote storage.
 
     ONE hash exchange end-to-end: ids are shard-assigned and
     todo-filtered per batch (pending shards never leave the read), then
@@ -141,7 +152,14 @@ def fetch_corpus(
     n_shards = n_shards or shuffle_partitions()
 
     def done(s: int) -> bool:
-        return os.path.exists(os.path.join(out_dir, f"shard={s}", "_manifest"))
+        # manifest = "<n_rows> <n_failed>"; a shard counts as done only
+        # when every row fetched ok (failed rows re-enqueue the shard)
+        m = os.path.join(out_dir, f"shard={s}", "_manifest")
+        if not os.path.exists(m):
+            return False
+        with open(m) as f:
+            parts = f.read().split()
+        return len(parts) < 2 or int(parts[1]) == 0
 
     todo = sorted(s for s in range(n_shards) if not done(s))
     if not todo:
@@ -170,15 +188,37 @@ def fetch_corpus(
 
         s = int(g["shard"][0].as_py())
         ids = np.unique(g["doc_id"].to_numpy(zero_copy_only=False))
+        d = os.path.join(out_dir, f"shard={s}")
+        ppath = os.path.join(d, "part.parquet")
+        prev_ok = None
+        if os.path.exists(ppath):
+            # prior run sealed this shard with failed rows: keep its ok
+            # rows, refetch only the failed/missing ids
+            try:
+                prev = pq.read_table(ppath)
+                prev_ok = prev.filter(pc.and_(
+                    pc.equal(prev["status"], "ok"),
+                    pc.is_in(prev["doc_id"], pa.array(ids, pa.int64())),
+                ))
+            except Exception:
+                prev_ok = None
+        if prev_ok is not None and prev_ok.num_rows:
+            done_ids = prev_ok["doc_id"].to_numpy(zero_copy_only=False)
+            ids = ids[~np.isin(ids, done_ids)]
         part = FetchShard(**fetch_kwargs)(
             pa.table({"doc_id": pa.array(ids, pa.int64())})
         )
-        d = os.path.join(out_dir, f"shard={s}")
+        if prev_ok is not None and prev_ok.num_rows:
+            part = pa.concat_tables([prev_ok.select(part.column_names), part])
+        n_ok = int(
+            pc.sum(pc.cast(pc.equal(part["status"], "ok"), pa.int64())).as_py()
+            or 0
+        )
         os.makedirs(d, exist_ok=True)
-        pq.write_table(part, os.path.join(d, "part.parquet"))
+        pq.write_table(part, ppath)
         tmp = os.path.join(d, "_manifest.tmp")
         with open(tmp, "w") as f:
-            f.write(str(part.num_rows))
+            f.write(f"{part.num_rows} {part.num_rows - n_ok}")
         os.replace(tmp, os.path.join(d, "_manifest"))
         return pa.table(
             {

@@ -52,6 +52,14 @@ def _asof_block(
     if t.num_rows == 0:
         return out_schema.empty_table()
     t = t.combine_chunks()
+    # null keys/timestamps would silently corrupt: a nullable int column
+    # comes back from to_numpy as float64 with NaN and the int64 cast
+    # turns NaN into INT64_MIN, producing wrong matches — fail loudly
+    if t[key_col].null_count or t[ts_col].null_count:
+        raise ValueError(
+            f"asof_join: null {key_col!r}/{ts_col!r} values are not "
+            "supported — filter null key/timestamp rows upstream"
+        )
     side = np.asarray(t[_SIDE].to_numpy(zero_copy_only=False))
     ts_arr = t[ts_col]
     if pa.types.is_temporal(ts_arr.type):
@@ -199,6 +207,12 @@ def _range_block(
     if t.num_rows == 0:
         return out_schema.empty_table()
     t = t.combine_chunks()
+    # see _asof_block: NaN-from-null int columns cast to INT64_MIN
+    if t[key_col].null_count or t[ts_col].null_count:
+        raise ValueError(
+            f"range_self_join: null {key_col!r}/{ts_col!r} values are not "
+            "supported — filter null key/timestamp rows upstream"
+        )
     ts_arr = t[ts_col]
     if pa.types.is_temporal(ts_arr.type):
         ts_arr = ts_arr.cast(pa.int64())

@@ -83,6 +83,37 @@ class TestAsofJoin:
         assert got_le["lid"].tolist() == [0, 1, 2]
         assert got_le["rid_prev"].tolist() == [11, 10, 12]
 
+    def test_null_keys_or_ts_raise(self):
+        # nullable int -> to_numpy gives float64 NaN -> int64 cast would
+        # yield INT64_MIN and silently wrong matches; must raise instead
+        lt = pa.table({
+            "k": pa.array([1, None], pa.int64()),
+            "t": pa.array([5, 6], pa.int64()),
+            "lid": pa.array([0, 1], pa.int64()),
+        })
+        rt = pa.table({
+            "k": pa.array([1], pa.int64()),
+            "t": pa.array([1], pa.int64()),
+            "rid": pa.array([10], pa.int64()),
+        })
+        with pytest.raises(Exception, match="null"):
+            asof_join(
+                rd.from_arrow(lt), rd.from_arrow(rt),
+                key_col="k", ts_col="t", right_cols=["rid"],
+            ).to_pandas()
+        from pubmed_and_method_ray.stages.asof import range_self_join
+
+        nt = pa.table({
+            "k": pa.array([1, 1], pa.int64()),
+            "t": pa.array([5, None], pa.int64()),
+            "eid": pa.array([0, 1], pa.int64()),
+        })
+        with pytest.raises(Exception, match="null"):
+            range_self_join(
+                rd.from_arrow(nt), key_col="k", ts_col="t",
+                window=10, emit_cols=["eid"],
+            ).to_pandas()
+
     def test_fallback_loop_path_matches_packed(self):
         # huge ts span forces the per-key-run fallback; compare vs packed
         ldf = pd.DataFrame(

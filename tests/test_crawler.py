@@ -90,3 +90,38 @@ class TestFetchCorpus:
         os.remove(os.path.join(OUT, victim, "_manifest"))  # simulate crash
         assert fetch_corpus(_ids_ds(120), OUT, n_shards=6) == 1
         assert sorted(read_corpus(OUT).to_pandas().doc_id) == list(range(120))
+
+    def test_failed_ids_reenqueued_on_resume(self):
+        """Permanently-failed rows must not be sealed as done: the next
+        run re-enqueues the shard and refetches ONLY the failed ids
+        (reference resume semantics — re-attempt anything not
+        successfully written)."""
+
+        def flaky(i, attempt):
+            if i % 2 == 0:
+                raise ConnectionError("down")
+            return deterministic_fetcher(i, 1)
+
+        fetch_corpus(
+            _ids_ds(60, dupes=False), OUT, n_shards=4,
+            fetcher=flaky, max_retries=1,
+        )
+        df = read_corpus(OUT).to_pandas()
+        assert (df[df.doc_id % 2 == 0].status == "failed").all()
+        assert (df[df.doc_id % 2 == 1].status == "ok").all()
+
+        def only_failed(i, attempt):
+            if i % 2 != 0:
+                raise AssertionError(f"refetched already-ok id {i}")
+            return deterministic_fetcher(i, 1)
+
+        # every shard had failures, so all 4 re-enqueue — but the ok
+        # rows are kept, not refetched (only_failed raises otherwise)
+        assert fetch_corpus(
+            _ids_ds(60, dupes=False), OUT, n_shards=4, fetcher=only_failed
+        ) == 4
+        df = read_corpus(OUT).to_pandas()
+        assert (df.status == "ok").all()
+        assert sorted(df.doc_id) == list(range(60))
+        # and now it is fully resumed: nothing to do
+        assert fetch_corpus(_ids_ds(60, dupes=False), OUT, n_shards=4) == 0
