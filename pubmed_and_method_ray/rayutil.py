@@ -2,6 +2,18 @@
 
 from __future__ import annotations
 
+import math
+
+
+def cluster_cpus(default: int = 8) -> int:
+    """Total cluster CPUs (falls back to ``default`` pre-init)."""
+    try:
+        import ray
+
+        return int(ray.cluster_resources().get("CPU", default))
+    except Exception:
+        return default
+
 
 def _tune_aggregator_pool(cpus: int) -> None:
     """Cap the hash-shuffle aggregator-actor pool at ~cpus/4 (floor 8).
@@ -23,7 +35,20 @@ def _tune_aggregator_pool(cpus: int) -> None:
         pass
 
 
-def shuffle_partitions(factor: int = 1, lo: int = 2, hi: int = 64) -> int:
+def partition_ceiling(cpus: int) -> int:
+    """Upper bound on exchange partition counts: scales with the CLUSTER,
+    never a fixed constant. A hard 64-way cap (rounds 1-3) was tuned for
+    this 32-cpu box but means per-partition data grows linearly with
+    input on a big cluster — at 100 TB a single pair-gen partition would
+    hold ~1.6 TB and OOM its task. 2 partitions/CPU keeps the measured
+    small-box behavior identical (64 at 32 cpus) while a 256-node x 32
+    cpu cluster gets 16384."""
+    return max(64, 2 * cpus)
+
+
+def shuffle_partitions(
+    factor: int = 1, lo: int = 2, hi: int | None = None, cpus: int | None = None
+) -> int:
     """Partition count for hash-shuffle groupbys/joins: ~`factor` per CPU.
 
     Hash-shuffle aggregators are actors; the default parallelism can
@@ -32,40 +57,58 @@ def shuffle_partitions(factor: int = 1, lo: int = 2, hi: int = 64) -> int:
     side effect (deliberate: this runs after ray.init, when cluster
     CPUs are knowable, unlike the import-time config in __init__.py)
     the aggregator pool cap is tuned to the cluster size."""
-    try:
-        import ray
-
-        cpus = int(ray.cluster_resources().get("CPU", 8))
-    except Exception:
-        cpus = 8
+    cpus = cluster_cpus() if cpus is None else cpus
     _tune_aggregator_pool(cpus)
+    if hi is None:
+        hi = partition_ceiling(cpus)
     return max(lo, min(hi, factor * cpus))
 
 
 def sized_partitions(
-    n_rows: int, rows_per_part: int = 200_000, lo: int = 2, hi: int | None = None
+    n_rows: int,
+    rows_per_part: int = 200_000,
+    lo: int = 2,
+    hi: int | None = None,
+    n_bytes: int | None = None,
+    bytes_per_part: int = 256 << 20,
 ) -> int:
-    """Data-aware partition count for hash exchanges whose input row
-    count is already known (e.g. from a materialized upstream): fixed
-    per-aggregator-actor overhead dominates small exchanges, so size
-    partitions to ~``rows_per_part`` rows each instead of always paying
-    for one actor per CPU. Clamped to [lo, shuffle_partitions()]."""
+    """Data-aware partition count for hash exchanges whose input size is
+    already known (e.g. from a materialized upstream). Two forces:
+
+    - small exchanges SHRINK below one-per-CPU (fixed per-aggregator
+      overhead dominates): ~``rows_per_part`` rows per partition;
+    - big exchanges GROW past the CPU count so a partition block stays
+      bounded (~``bytes_per_part``) regardless of input scale — the
+      anti-OOM guarantee a fixed cap cannot give.
+    """
     cap = shuffle_partitions() if hi is None else hi
-    import math
+    n = max(lo, min(cap, math.ceil(max(1, n_rows) / rows_per_part)))
+    if n_bytes is not None:
+        n = max(n, math.ceil(n_bytes / bytes_per_part))
+    return n
 
-    return max(lo, min(cap, math.ceil(max(1, n_rows) / rows_per_part)))
+
+def known_size(ds) -> tuple[int | None, int | None]:
+    """(row count, bytes) of a Dataset IF knowable without executing it
+    (materialized / metadata-complete); (None, None) otherwise. Never
+    triggers execution — lazy pipelines stay lazy."""
+    try:
+        from ray.data.dataset import MaterializedDataset
+
+        if isinstance(ds, MaterializedDataset):
+            return ds.count(), ds.size_bytes()
+    except Exception:
+        pass
+    return None, None
 
 
-def join_partitions(lo: int = 2, hi: int = 64) -> int:
+def join_partitions(lo: int = 2, hi: int | None = None) -> int:
     """Partition count for ``Dataset.join``: ~cpus/2. Join aggregators
     are heavier actors than groupby's — measured on a 32-cpu node, a
     150k x 150k join runs 4.2s at 8 partitions vs 7.7s at 32 (actor
     startup dominates); cpus/2 balances that against per-partition
     memory at scale."""
-    try:
-        import ray
-
-        cpus = int(ray.cluster_resources().get("CPU", 8))
-    except Exception:
-        cpus = 8
+    cpus = cluster_cpus()
+    if hi is None:
+        hi = partition_ceiling(cpus)
     return max(lo, min(hi, cpus // 2))

@@ -79,8 +79,22 @@ def _bands_matrix(group: pa.Table) -> np.ndarray:
         off += w
     return out
 
-def n_pair_buckets() -> int:
-    """Hash-exchange partition count for pair generation: one per CPU.
+# memory bound per pair-gen hash partition: a bucket task holds its
+# whole partition block (mention payloads) plus the pair expansion, so
+# blocks are sized to ~128 MiB of exchanged payload regardless of input
+# scale — the count GROWS with data volume instead of capping at a
+# constant (a 64-way cap would mean ~1.6 TB/partition at 100 TB).
+PAIR_BUCKET_BYTES = 128 << 20
+
+
+def n_pair_buckets(
+    n_rows: int | None = None,
+    n_bytes: int | None = None,
+    cpus: int | None = None,
+) -> int:
+    """Hash-exchange partition count for pair generation: one per CPU,
+    grown past that when the (known) input volume would otherwise
+    overfill a partition block.
 
     Tuning history matters here: with Ray's default aggregator
     reservation (0.25 logical CPU x partitions held for the exchange
@@ -92,16 +106,17 @@ def n_pair_buckets() -> int:
     partitions 29.2s vs 96 partitions 31.6s: per-partition banding/dedup
     overhead and the extra finalize round-trips outweigh straggler
     packing (per-partition UDF skew is only ~1.5x mean)."""
-    from ..rayutil import _tune_aggregator_pool
+    from ..rayutil import _tune_aggregator_pool, cluster_cpus
 
-    try:
-        import ray
-
-        cpus = int(ray.cluster_resources().get("CPU", 8))
-    except Exception:
-        cpus = 8
+    cpus = cluster_cpus() if cpus is None else cpus
     _tune_aggregator_pool(cpus)
-    return max(4, min(64, cpus))
+    n = max(4, cpus)
+    if n_bytes is not None:
+        n = max(n, math.ceil(n_bytes / PAIR_BUCKET_BYTES))
+    elif n_rows is not None:
+        # fallback when only rows are known: ~1 KiB/mention payload
+        n = max(n, math.ceil(n_rows / (PAIR_BUCKET_BYTES // 1024)))
+    return n
 
 PAYLOAD_COLS = [
     "url",
@@ -164,18 +179,78 @@ def _census_partials(batch: pa.Table, sample_mod: int = 1) -> pa.Table:
     )
 
 
-def skew_table_fast(mentions_ds, n_max: int, sample_mod: int = 8):
+# driver-merge budget for the skew census: above this many SAMPLED
+# mentions the partial-count concat moves off the driver into a tiny
+# keyed exchange that filters to the heavy tail distributedly
+_CENSUS_DRIVER_BUDGET = 5_000_000
+
+
+def skew_table_fast(
+    mentions_ds, n_max: int, sample_mod: int = 8, distributed: bool | None = None
+):
     """HOST skew census on a deterministic 1/sample_mod mention sample,
     scaled back up. SAFE approximation: salting is a load-balancing
     device — pair coverage is exact with or without it — and a host big
     enough to need salting (n > n_max >= 128) puts ~n/mod >= 16 mentions
-    in the sample, so the heavy tail is detected reliably. Driver merge
-    is 8x faster than a hash-shuffle groupby at this key cardinality.
-    Returns (sorted uint64 host hashes, int64 counts) for vectorized
-    searchsorted lookup in the emit stage."""
+    in the sample, so the heavy tail is detected reliably.
+
+    Two merge paths, budget-guarded like the engine's other driver-sized
+    gathers: when the (known) sampled volume fits the driver budget, a
+    vectorized driver merge (measured 8x faster than a hash-shuffle
+    groupby at bench-scale key cardinality); otherwise a tiny keyed
+    exchange of (host_h, partial count) rows sums counts distributedly
+    and only OVER-THRESHOLD hosts ever reach the driver — at 10^8 hosts
+    the driver holds just the heavy tail, not ~1.6 GB of sampled
+    distincts. Returns (sorted uint64 host hashes, int64 counts) for
+    vectorized searchsorted lookup in the emit stage."""
+    from ..rayutil import known_size, shuffle_partitions
+
     parts = mentions_ds.map_batches(
         _census_partials, fn_kwargs={"sample_mod": sample_mod}, batch_format="pyarrow"
     )
+    if distributed is None:
+        n_rows, _ = known_size(mentions_ds)
+        distributed = n_rows is None or (n_rows // sample_mod) > _CENSUS_DRIVER_BUDGET
+
+    if distributed:
+        import pyarrow.compute as pc
+
+        def key_as_i64(t: pa.Table) -> pa.Table:
+            # Ray's aggregate path chokes on uint64 keys > 2^63 —
+            # reinterpret the hash bits as int64 for the exchange
+            k = np.asarray(
+                t["block_key"].to_numpy(zero_copy_only=False), dtype=np.uint64
+            ).view(np.int64)
+            return t.set_column(
+                t.schema.get_field_index("block_key"),
+                "block_key",
+                pa.array(k, pa.int64()),
+            )
+
+        def keep_heavy(t: pa.Table) -> pa.Table:
+            n = pc.multiply(t["sum(n)"], pa.scalar(sample_mod, pa.int64()))
+            t = t.set_column(
+                t.schema.get_field_index("sum(n)"), "n", pc.cast(n, pa.int64())
+            )
+            return t.filter(pc.greater(t["n"], pa.scalar(n_max, pa.int64())))
+
+        heavy = (
+            parts.map_batches(key_as_i64, batch_format="pyarrow")
+            .groupby("block_key", num_partitions=shuffle_partitions())
+            .sum("n")
+            .map_batches(keep_heavy, batch_format="pyarrow")
+        )
+        ks, ns = [], []
+        for b in heavy.iter_batches(batch_format="pyarrow", batch_size=262144):
+            ks.append(b["block_key"].to_numpy(zero_copy_only=False))
+            ns.append(b["n"].to_numpy(zero_copy_only=False))
+        if not ks:
+            return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64)
+        keys = np.concatenate(ks).astype(np.int64).view(np.uint64)
+        counts = np.concatenate(ns).astype(np.int64)
+        order = np.argsort(keys)
+        return keys[order], counts[order]
+
     all_k, all_n = [], []
     for b in parts.iter_batches(batch_format="pyarrow", batch_size=262144):
         all_k.append(b["block_key"].to_numpy(zero_copy_only=False))
@@ -540,11 +615,14 @@ def _keyed_buckets(mentions_ds, n_max: int, keep_gold: bool):
     per-group call overhead)."""
     import ray
 
+    from ..rayutil import known_size
+
     _check_block_integrity_assumption()
 
     skew = skew_table_fast(mentions_ds, n_max)
     skew_ref = ray.put(skew)
-    n_buckets = n_pair_buckets()
+    n_rows, n_bytes = known_size(mentions_ds)
+    n_buckets = n_pair_buckets(n_rows=n_rows, n_bytes=n_bytes)
     keyed = mentions_ds.map_batches(
         emit_pair_keys,
         fn_kwargs={

@@ -118,6 +118,68 @@ class TestPairGeneration:
         assert direct_hit / direct_total >= 0.90  # direct-pair recall floor
 
 
+class TestPartitionScaling:
+    def test_partition_counts_grow_past_64(self):
+        """Exchange sizing must scale with the CLUSTER, not cap at a
+        constant tuned for this 32-cpu box (at 100 TB a 64-way cap means
+        ~1.6 TB per pair partition)."""
+        from pubmed_and_method_ray.rayutil import shuffle_partitions
+        from pubmed_and_method_ray.stages.blocking import (
+            PAIR_BUCKET_BYTES,
+            n_pair_buckets,
+        )
+
+        # small-box behavior unchanged
+        assert shuffle_partitions(cpus=32) == 32
+        assert n_pair_buckets(cpus=32) == 32
+        # big simulated clusters blow straight past 64
+        assert shuffle_partitions(cpus=1024) == 1024
+        assert shuffle_partitions(factor=2, cpus=4096) == 8192
+        assert n_pair_buckets(cpus=2048) == 2048
+        # data-aware: known volume grows buckets past the CPU count so a
+        # partition block stays bounded at ~PAIR_BUCKET_BYTES
+        assert n_pair_buckets(cpus=32, n_bytes=PAIR_BUCKET_BYTES * 100) == 100
+        assert n_pair_buckets(cpus=32, n_bytes=1 << 20) == 32
+
+    def test_sized_partitions_bytes_target(self):
+        from pubmed_and_method_ray.rayutil import sized_partitions
+
+        # small exchange shrinks below one-per-cpu
+        assert sized_partitions(10_000, hi=64) == 2
+        # byte volume grows the count past the cpu cap
+        assert (
+            sized_partitions(10_000, hi=64, n_bytes=(256 << 20) * 500) == 500
+        )
+
+    def test_pairs_green_at_forced_high_partitions(self, mentions, monkeypatch):
+        """Brute-force pair oracle must hold when the exchange runs with
+        far more partitions than CPUs or data (mostly-empty partitions +
+        salting both active)."""
+        import pubmed_and_method_ray.stages.blocking as blocking
+
+        monkeypatch.setattr(blocking, "n_pair_buckets", lambda **kw: 48)
+        ds = rd.from_arrow(mentions)
+        pairs = blocking.generate_pairs(ds, n_max=8, keep_gold=True)
+        t = pairs.select_columns(["url_1", "url_2"]).to_pandas()
+        got = set(zip(t["url_1"], t["url_2"]))
+        assert len(got) == len(t), "duplicate pairs emitted"
+        assert got == _brute_force_pairs(mentions)
+
+
+class TestSkewCensus:
+    def test_distributed_census_matches_driver_merge(self, mentions):
+        """The off-driver (keyed-exchange) census path must agree exactly
+        with the driver-merge path: only over-threshold hosts, sorted."""
+        from pubmed_and_method_ray.stages.blocking import skew_table_fast
+
+        ds = rd.from_arrow(mentions)
+        k_drv, n_drv = skew_table_fast(ds, n_max=8, sample_mod=1, distributed=False)
+        k_dst, n_dst = skew_table_fast(ds, n_max=8, sample_mod=1, distributed=True)
+        assert (k_drv == k_dst).all()
+        assert (n_drv == n_dst).all()
+        assert len(k_drv) > 0  # n_max=8 makes every real host heavy
+
+
 class TestBlockCensus:
     def test_census_counts(self, mentions):
         ds = rd.from_arrow(mentions)
