@@ -302,10 +302,14 @@ def _sm64_sql(prefix: str, x: str) -> str:
 def _minhash_lsh_oracle(
     num_perm: int = 64, n_bands: int = 16, threshold: float = 0.8
 ) -> str:
-    """MinHash-LSH oracle: md5_number_upper gram hashes re-keyed by the
-    64 splitmix64 seed literals (same values as
+    """MinHash-LSH oracle mirroring _SketchBander's vectorized
+    construction exactly: md5_number_upper TOKEN hashes, shingle hash =
+    splitmix64 fold over the shingle's 3 token hashes (h0 = 83;
+    h_j = sm64(h ^ th_j); docs with < 3 tokens fold all their tokens
+    into ONE gram), distinct gram hashes per doc, signatures re-keyed by
+    the 64 splitmix64 seed literals (same values as
     functions.simhash.minhash_from_hashes), min per permutation, literal
-    signature-value band keys, band-join candidates, exact gram-set
+    signature-value band keys, band-join candidates, exact gram-hash-set
     jaccard verify at the threshold."""
     import numpy as np
 
@@ -319,15 +323,36 @@ def _minhash_lsh_oracle(
     return (
         "WITH t AS (SELECT doc_id, str_split(lower(text), ' ') AS toks "
         "FROM documents), "
-        "gd AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) < 3 "
-        "THEN [array_to_string(toks, ' ')] "
-        "ELSE list_transform(generate_series(1, len(toks) - 2), "
-        "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS grams "
-        "FROM t), "
-        "bh AS (SELECT doc_id, md5_number_upper(unnest(grams)) AS gh FROM gd), "
+        "nt AS (SELECT doc_id, len(toks) AS n, toks FROM t), "
+        "tok AS (SELECT doc_id, unnest(generate_series(1, n)) AS j, "
+        "unnest(toks) AS token FROM nt), "
+        "th AS (SELECT doc_id, j, md5_number_upper(token) AS th FROM tok), "
+        "gp AS (SELECT doc_id, unnest(generate_series(1, greatest(1, n - 2))) "
+        "AS g FROM nt), "
+        "g0 AS (SELECT gp.doc_id AS doc_id, gp.g AS g, "
+        "a.th AS th1, b.th AS th2, c.th AS th3 FROM gp "
+        "JOIN th a ON a.doc_id = gp.doc_id AND a.j = gp.g "
+        "LEFT JOIN th b ON b.doc_id = gp.doc_id AND b.j = gp.g + 1 "
+        "LEFT JOIN th c ON c.doc_id = gp.doc_id AND c.j = gp.g + 2), "
+        # fold step 1: h1 = sm64(83 ^ th1)
+        "f1_in AS (SELECT doc_id, g, th2, th3, xor(th1, 83::UBIGINT) AS x "
+        "FROM g0), "
+        + _sm64_sql("f1", "x")
+        # fold step 2: h2 = th2 null ? h1 : sm64(h1 ^ th2)
+        + ", f2_in AS (SELECT doc_id, g, th2, th3, hv AS h1, "
+        "xor(hv, COALESCE(th2, 0::UBIGINT)) AS x FROM f1_out), "
+        + _sm64_sql("f2", "x")
+        # fold step 3: h3 = th3 null ? h2 : sm64(h2 ^ th3)
+        + ", f3_in AS (SELECT doc_id, g, th3, "
+        "CASE WHEN th2 IS NULL THEN h1 ELSE hv END AS h2, "
+        "xor(CASE WHEN th2 IS NULL THEN h1 ELSE hv END, "
+        "COALESCE(th3, 0::UBIGINT)) AS x FROM f2_out), "
+        + _sm64_sql("f3", "x")
+        + ", gh AS (SELECT DISTINCT doc_id, "
+        "CASE WHEN th3 IS NULL THEN h2 ELSE hv END AS gh FROM f3_out), "
         f"seeds AS (SELECT * FROM (VALUES {seed_rows}) AS s(perm, seed)), "
         "sm_in AS (SELECT doc_id, perm, xor(gh, seed) AS x0 "
-        "FROM bh CROSS JOIN seeds), "
+        "FROM gh CROSS JOIN seeds), "
         + _sm64_sql("sm", "x0")
         + ", sig AS (SELECT doc_id, perm, MIN(hv) AS s FROM sm_out "
         "GROUP BY doc_id, perm), "
@@ -336,7 +361,8 @@ def _minhash_lsh_oracle(
         f"FROM sig GROUP BY doc_id, perm // {rows}), "
         "cand AS (SELECT DISTINCT a.doc_id AS doc_id1, b.doc_id AS doc_id2 "
         "FROM band a JOIN band b ON a.band_key = b.band_key "
-        "AND a.doc_id < b.doc_id) "
+        "AND a.doc_id < b.doc_id), "
+        "gd AS (SELECT doc_id, list(gh) AS grams FROM gh GROUP BY doc_id) "
         "SELECT doc_id1, doc_id2, jaccard FROM ("
         "SELECT c.doc_id1, c.doc_id2, "
         "len(list_intersect(x.grams, y.grams)) / "

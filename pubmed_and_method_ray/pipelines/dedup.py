@@ -237,22 +237,32 @@ def dedup_ngram_jaccard(sf_dir: str, threshold: float = 0.6):
 class _SketchBander:
     """Actor: text -> ONE row per doc: (doc_id, sh, bands).
 
-    ``sh``: sorted-unique md5-u64 hashes of the doc's token 3-shingles as
-    raw LE bytes (md5 == DuckDB md5_number_upper; binary because Acero
-    hash joins reject list-typed payloads). ``bands``: the n_bands
-    literal-signature band keys (reproducible by the splitmix64-in-SQL
-    oracle). Shingles, not unigram tokens: corpora with a shared small
-    vocabulary make every doc-pair's TOKEN jaccard high (bucket
-    explosion), while shingle sets are order-sensitive and distinctive —
-    the standard MMDS ch.3 construction.
+    ``sh``: sorted-unique uint64 hashes of the doc's token 3-shingles as
+    raw LE bytes (binary because Acero hash joins reject list-typed
+    payloads). A shingle hash is a splitmix64 FOLD over the shingle's
+    per-token md5-u64 hashes (h_0 = 0x53; h_j = sm64(h ^ th_j)) — md5
+    runs once per DISTINCT token per batch and the fold is one
+    vectorized pass over all gram positions; the round-3 version built
+    Python string shingles and md5-hashed each distinct gram (the LSH
+    stage's hot loop). md5 for the TOKEN hashes keeps the construction
+    exactly reproducible in SQL (md5_number_upper + the splitmix64 CTE
+    machinery already used for the band keys). ``bands``: the n_bands
+    literal-signature band keys. Shingles, not unigram tokens: corpora
+    with a shared small vocabulary make every doc-pair's TOKEN jaccard
+    high (bucket explosion), while shingle sets are order-sensitive and
+    distinctive — the standard MMDS ch.3 construction.
 
-    Fused sketch+banding so the gram hashing (the expensive kernel,
-    memoized per DISTINCT gram per batch — near-dup docs share most
-    shingles) runs exactly once; neither payload column crosses an
-    exchange — downstream ops explode/select from the materialized
-    parent, and the LSH exchange itself carries only (band_key, doc_id)
-    (the round-2 version shipped each doc's full sketch once per band:
-    16x payload amplification)."""
+    Fused sketch+banding: no payload column crosses an exchange —
+    downstream ops explode/select from the materialized parent, and the
+    LSH exchange itself carries only (band_key, doc_id) (the round-2
+    version shipped each doc's full sketch once per band: 16x payload
+    amplification). Every step is batch-vectorized: tokenization via
+    pyarrow split_pattern, per-doc distinct grams via one lexsort, the
+    (grams x num_perm) minhash via one minimum.reduceat, band-key
+    strings via np.char over the signature matrix."""
+
+    SHINGLE_SEED = 0x53  # fold init; 83 in the SQL oracle
+    MINHASH_SEED = 7  # seeds = sm64(arange(1..num_perm) * (seed+1))
 
     def __init__(self, num_perm: int = 64, n_bands: int = 16, shingle_k: int = 3):
         self.num_perm = num_perm
@@ -260,43 +270,97 @@ class _SketchBander:
         self.shingle_k = shingle_k
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        from ..functions.hashing import md5_u64_array
-        from ..functions.simhash import minhash_from_hashes
-        from ..functions.textkernels import token_shingles
+        import pyarrow.compute as pc
 
-        rows = self.num_perm // self.n_bands
-        doc_grams = [
-            token_shingles((x or "").lower().split(" "), self.shingle_k)
-            for x in t["text"].to_pylist()
-        ]
-        uniq, inv = np.unique(
-            np.asarray([g for gs in doc_grams for g in gs], dtype=object),
-            return_inverse=True,
-        ) if any(doc_grams) else (np.empty(0, object), np.empty(0, np.int64))
-        uniq_h = md5_u64_array(list(uniq)) if len(uniq) else np.empty(0, np.uint64)
-        offs = np.concatenate([[0], np.cumsum([len(g) for g in doc_grams])]).astype(
-            np.int64
-        )
-        flat_parts, lens, band_keys = [], [], []
-        for i in range(len(doc_grams)):
-            gh = uniq_h[inv[offs[i] : offs[i + 1]]]
-            sh = np.unique(gh) if len(gh) else np.empty(0, np.uint64)
-            flat_parts.append(sh)
-            lens.append(len(sh))
-            sig = minhash_from_hashes(sh, self.num_perm)
-            band_keys.append(
-                [
-                    f"b{b}:" + ",".join(str(int(v)) for v in sig[b * rows : (b + 1) * rows])
-                    for b in range(self.n_bands)
-                ]
+        from ..functions.hashing import md5_u64_array, splitmix64
+
+        k, num_perm, n_bands = self.shingle_k, self.num_perm, self.n_bands
+        rows = num_perm // n_bands
+        n_docs = t.num_rows
+        if n_docs == 0:
+            return pa.Table.from_pydict(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "sh": pa.array([], pa.large_binary()),
+                    "bands": pa.array([], pa.list_(pa.string())),
+                }
             )
-        flat = np.concatenate(flat_parts) if flat_parts else np.empty(0, np.uint64)
+        txt = t["text"]
+        txt = txt.combine_chunks() if isinstance(txt, pa.ChunkedArray) else txt
+        toks = pc.split_pattern(pc.utf8_lower(pc.fill_null(txt, "")), pattern=" ")
+        toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        offs = np.asarray(toks.offsets, dtype=np.int64)
+        flat_tok = toks.values.slice(offs[0], offs[-1] - offs[0])
+        offs = offs - offs[0]
+        # md5 once per DISTINCT token per batch
+        enc = flat_tok.dictionary_encode()
+        uniq_h = md5_u64_array(enc.dictionary.to_pylist())
+        th = uniq_h[np.asarray(enc.indices, dtype=np.int64)]
+
+        # gram positions: docs with n < k tokens get ONE gram folding all
+        # n tokens (token_shingles semantics); others n - k + 1 grams
+        n_tok = np.diff(offs)  # always >= 1 ("" splits to [""])
+        n_grams = np.maximum(n_tok - (k - 1), 1)
+        total_g = int(n_grams.sum())
+        g_off = np.concatenate([[0], np.cumsum(n_grams)]).astype(np.int64)
+        doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), n_grams)
+        start = np.repeat(offs[:-1], n_grams) + (
+            np.arange(total_g, dtype=np.int64) - np.repeat(g_off[:-1], n_grams)
+        )
+        end = np.repeat(offs[1:], n_grams)
+        h = splitmix64(th[start] ^ np.uint64(self.SHINGLE_SEED))
+        for j in range(1, k):
+            idx = start + j
+            valid = idx < end
+            nxt = splitmix64(h ^ th[np.minimum(idx, len(th) - 1)])
+            h = np.where(valid, nxt, h)
+
+        # sorted-distinct gram hashes per doc in ONE lexsort
+        order = np.lexsort((h, doc_of))
+        hs, ds = h[order], doc_of[order]
+        keep = np.empty(len(hs), dtype=bool)
+        keep[0] = True
+        keep[1:] = (hs[1:] != hs[:-1]) | (ds[1:] != ds[:-1])
+        sh_flat = hs[keep]
+        lens = np.bincount(ds[keep], minlength=n_docs)
         sh_off = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
+
+        # minhash for the WHOLE batch, one permutation COLUMN at a time:
+        # a (grams x num_perm) rehash matrix is memory-bandwidth-bound
+        # (~3.5x slower measured), while per-column rehash + segment-min
+        # keeps the working set cache-sized (every doc has >= 1 gram, so
+        # reduceat is safe)
+        seeds = splitmix64(
+            np.arange(1, num_perm + 1, dtype=np.uint64)
+            * np.uint64(self.MINHASH_SEED + 1)
+        )
+        sig = np.empty((n_docs, num_perm), dtype=np.uint64)
+        for p in range(num_perm):
+            sig[:, p] = np.minimum.reduceat(
+                splitmix64(sh_flat ^ seeds[p]), sh_off[:-1]
+            )
+
+        # band keys "b{i}:v,v,v,v" via vectorized np.char over the matrix
+        sig_str = sig.astype("U20")
+        band_cols = []
+        for b in range(n_bands):
+            s = np.char.add(f"b{b}:", sig_str[:, b * rows])
+            for r in range(1, rows):
+                s = np.char.add(np.char.add(s, ","), sig_str[:, b * rows + r])
+            band_cols.append(s)
+        band_vals = np.stack(band_cols, axis=1).ravel()
+        bands_arr = pa.ListArray.from_arrays(
+            pa.array(
+                np.arange(0, (n_docs + 1) * n_bands, n_bands, dtype=np.int32),
+                pa.int32(),
+            ),
+            pa.array(band_vals, pa.string()),
+        )
         return pa.Table.from_pydict(
             {
                 "doc_id": t["doc_id"],
-                "sh": _u64_rows_to_binary(sh_off, flat),
-                "bands": pa.array(band_keys, pa.list_(pa.string())),
+                "sh": _u64_rows_to_binary(sh_off, sh_flat),
+                "bands": bands_arr,
             }
         )
 
