@@ -66,16 +66,16 @@ def run_benchmarks() -> dict:
             pages_dir
         )
         open(os.path.join(pages_dir, "_done"), "w").close()
-    import ray.data as rd
+    from pubmed_and_method_ray.sources.io import read_parquet_clean
 
-    n_pages = rd.read_parquet(pages_dir, file_extensions=["parquet"]).count()  # warm page cache
+    n_pages = read_parquet_clean(pages_dir, file_extensions=["parquet"]).count()  # warm page cache
 
     model = load_pretrained_model_json()
     # min of three timed trials: single-trial noise on this box is up to ±40%
     trials = []
     for _ in range(int(os.environ.get("GRAFT_ER_TRIALS", "3"))):
         t0 = time.perf_counter()
-        pages = rd.read_parquet(pages_dir, file_extensions=["parquet"])
+        pages = read_parquet_clean(pages_dir, file_extensions=["parquet"])
         out = run_er_pipeline(
             pages, model_json=model, idf=load_pretrained_idf(),
             n_max=512, evaluate=False, keep_gold=True,

@@ -237,11 +237,11 @@ def fetch_corpus(
 
 def read_corpus(out_dir: str):
     """Read back all fetched shards (validates manifests)."""
-    import ray.data as rd
+    from .io import read_parquet_clean
 
     shards = sorted(
         d for d in os.listdir(out_dir) if d.startswith("shard=")
         and os.path.exists(os.path.join(out_dir, d, "_manifest"))
     )
     paths = [os.path.join(out_dir, d, "part.parquet") for d in shards]
-    return rd.read_parquet(paths)
+    return read_parquet_clean(paths)

@@ -24,7 +24,31 @@ def strip_schema_metadata(t: pa.Table) -> pa.Table:
     return t
 
 
+def _first_file_has_metadata(paths) -> bool:
+    """Cheap footer probe: True if the first path is a parquet FILE whose
+    schema carries key/value metadata (or the probe is inconclusive —
+    directory, glob, remote — in which case we strip defensively)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    p = paths[0] if isinstance(paths, (list, tuple)) else paths
+    try:
+        if not (isinstance(p, str) and os.path.isfile(p)):
+            return True
+        return pq.ParquetFile(p).schema_arrow.metadata is not None
+    except Exception:
+        return True
+
+
 def read_parquet_clean(paths, *, columns=None, **kwargs) -> "rd.Dataset":
-    """``rd.read_parquet`` + metadata strip (fused into the read task)."""
+    """``rd.read_parquet`` + metadata strip (fused into the read task).
+
+    When the footer probe shows the files are already metadata-free
+    (e.g. written by this engine's own ``write_parquet``), the strip
+    stage is skipped entirely — that also preserves ``input_files()``,
+    which a ``map_batches`` wrapper would hide."""
     ds = rd.read_parquet(paths, columns=columns, **kwargs)
+    if not _first_file_has_metadata(paths):
+        return ds
     return ds.map_batches(strip_schema_metadata, batch_format="pyarrow")

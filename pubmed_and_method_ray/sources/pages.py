@@ -217,9 +217,9 @@ def build_pages_dataset(
     """
     if n_hosts is None:
         n_hosts = 50 * repeat
-    import ray.data as rd
+    from .io import read_parquet_clean
 
-    ds = rd.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
     )
     if repeat > 1:
