@@ -10,6 +10,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from ..sources.io import read_parquet_clean
+
 
 def _load_query_vec(sf_dir: str, query_vec_id: int) -> np.ndarray:
     import pyarrow.parquet as pq
@@ -30,7 +32,6 @@ def ann_topk(sf_dir: str, query_vec_id: int = 0, k: int = 10):
     never a full materialization."""
     import ray
     import ray.data as rd
-
     q = _load_query_vec(sf_dir, query_vec_id)
     qref = ray.put(q)
 
@@ -56,7 +57,7 @@ def ann_topk(sf_dir: str, query_vec_id: int = 0, k: int = 10):
                 }
             )
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     return (
         ds.map_batches(Score, batch_format="pyarrow", batch_size=512, concurrency=(1, 4))
         .sort("cos_sim", descending=True)
@@ -109,9 +110,140 @@ def ann_topk_lsh(sf_dir: str, query_vec_id: int = 0, k: int = 10, n_planes: int 
                 }
             )
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     return (
         ds.map_batches(BucketScore, batch_format="pyarrow", batch_size=512, concurrency=(1, 4))
+        .sort("cos_sim", descending=True)
+        .limit(k)
+    )
+
+
+def build_lsh_index(
+    sf_dir: str, n_planes: int = 8, out_dir: str | None = None
+) -> str:
+    """ONE-TIME physical layout for ANN at rest: write the embeddings
+    partitioned by LSH bucket (hive-style ``lsh_bucket=<sig>/``
+    directories via ``write_parquet(partition_cols=...)``). Queries then
+    read ONLY their probed partitions — at 100 TB the filtered-scan
+    variant (ann_topk_lsh) still pays full table I/O per query, while
+    the indexed variant's read is bounded by probe_set/2^n_planes of the
+    files. Idempotent: a fingerprint marker (source identity + planes)
+    makes reruns reuse the index; a changed source or plane count
+    rebuilds it."""
+    import hashlib
+    import os
+    import shutil
+
+    import ray.data as rd  # noqa: F401  (kept for parity with callers)
+
+    src = f"{sf_dir}/embeddings.parquet"
+    st = os.stat(src)
+    fp = hashlib.blake2b(
+        f"{src}:{st.st_size}:{st.st_mtime_ns}:planes={n_planes}:v1".encode(),
+        digest_size=8,
+    ).hexdigest()
+    out_dir = out_dir or f"/tmp/ann_lsh_index_{os.path.basename(os.path.normpath(sf_dir))}_{n_planes}"
+    marker = os.path.join(out_dir, "_index_fingerprint")
+    if os.path.exists(marker) and open(marker).read() == fp:
+        return out_dir
+    shutil.rmtree(out_dir, ignore_errors=True)
+    # plane matrix must be IDENTICAL to the query side's
+    # lsh_planes(n_planes, dim) — read dim from one row group, not a scan
+    import pyarrow.parquet as pq
+
+    first = pq.ParquetFile(src).read_row_group(0, columns=["embedding"])
+    dim = len(first["embedding"][0].as_py())
+    planes = lsh_planes(n_planes, dim)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        V = np.stack(
+            [np.asarray(x, dtype=np.float64) for x in t["embedding"].to_pylist()]
+        )
+        sigs = np.packbits((V @ planes.T) > 0, axis=1, bitorder="little")[:, 0]
+        return t.append_column(
+            "lsh_bucket", pa.array(sigs.astype(np.int32), pa.int32())
+        )
+
+    read_parquet_clean(src, columns=["vec_id", "embedding"]).map_batches(
+        add_bucket, batch_format="pyarrow"
+    ).write_parquet(out_dir, partition_cols=["lsh_bucket"])
+    with open(marker, "w") as f:
+        f.write(fp)
+    return out_dir
+
+
+def probed_partition_files(idx_dir: str, q: np.ndarray, n_planes: int) -> list[str]:
+    """The multi-probe read set over the bucket-partitioned index: the
+    query's own bucket plus every single-bit flip (≤ n_planes+1 of the
+    2^n_planes partitions). ``read_parquet`` rejects directories inside a
+    path LIST, so the parquet files of each probed partition are
+    enumerated explicitly — this list IS the I/O bound of an indexed
+    query, which is what the at-rest test asserts on."""
+    import os
+
+    planes = lsh_planes(n_planes, len(q))
+    qsig = int(np.packbits(planes @ q > 0, bitorder="little")[0])
+    probe = {qsig} | {qsig ^ (1 << i) for i in range(n_planes)}
+    return [
+        os.path.join(part, f)
+        for b in sorted(probe)
+        for part in [os.path.join(idx_dir, f"lsh_bucket={b}")]
+        if os.path.isdir(part)
+        for f in sorted(os.listdir(part))
+        if f.endswith(".parquet")
+    ]
+
+
+def ann_topk_lsh_indexed(
+    sf_dir: str, query_vec_id: int = 0, k: int = 10, n_planes: int = 8
+):
+    """ANN over the bucket-partitioned index: identical semantics and
+    results to ``ann_topk_lsh`` (same planes, same multi-probe set,
+    exact cosine over candidates), but the READ touches only the probed
+    ``lsh_bucket=`` partitions — partition-filter pushdown at rest
+    instead of scan-everything-filter-per-batch."""
+    import os
+
+    import ray
+    import ray.data as rd
+
+    idx_dir = build_lsh_index(sf_dir, n_planes=n_planes)
+    q = _load_query_vec(sf_dir, query_vec_id)
+    paths = probed_partition_files(idx_dir, q, n_planes)
+    if not paths:
+        return rd.from_arrow(
+            pa.Table.from_pydict(
+                {"vec_id": pa.array([], pa.int64()), "cos_sim": pa.array([], pa.float64())}
+            )
+        )
+    qref = ray.put(q)
+
+    def score(t: pa.Table) -> pa.Table:
+        from ..stages.mention_prep import get_broadcast
+
+        q_ = get_broadcast(qref)
+        ids = np.asarray(t["vec_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        V = np.stack(
+            [np.asarray(x, dtype=np.float64) for x in t["embedding"].to_pylist()]
+        )
+        keep = ids != query_vec_id
+        ids, V = ids[keep], V[keep]
+        if len(ids) == 0:
+            return pa.Table.from_pydict(
+                {"vec_id": pa.array([], pa.int64()), "cos_sim": pa.array([], pa.float64())}
+            )
+        V = V / np.linalg.norm(V, axis=1, keepdims=True)
+        cos = V @ q_
+        return pa.Table.from_pydict(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "cos_sim": pa.array(np.round(cos, 9), pa.float64()),
+            }
+        )
+
+    ds = read_parquet_clean(paths, columns=["vec_id", "embedding"])
+    return (
+        ds.map_batches(score, batch_format="pyarrow", batch_size=512)
         .sort("cos_sim", descending=True)
         .limit(k)
     )
@@ -174,7 +306,7 @@ def ann_topk_ivf(
     import ray
     import ray.data as rd
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     q = _load_query_vec(sf_dir, query_vec_id)
     C = ivf_centroids(ds, n_lists, dim=len(q))
     qdots = np.round(C @ q, 9)
@@ -229,5 +361,5 @@ def embedding_norms(sf_dir: str):
             {"vec_id": t["vec_id"], "l2_norm": pa.array(n, pa.float64())}
         )
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     return ds.map_batches(norms, batch_format="pyarrow")

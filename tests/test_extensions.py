@@ -255,3 +255,74 @@ class TestEngineDataContext:
         assert ctx.shuffle_strategy == ShuffleStrategy.HASH_SHUFFLE
         assert ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override == 0.05
         assert ctx.hash_aggregate_operator_actor_num_cpus_per_partition_override == 0.25
+
+
+class TestCleanParquetReads:
+    def test_no_raw_read_parquet_in_package(self):
+        """Every parquet read must go through sources.io.read_parquet_clean:
+        a schema still carrying the writer's b'pandas' metadata is
+        unhashable and makes every hash-shuffle aggregator log 'Failed to
+        hash the schemas' and fall through to the slow unify path."""
+        import pathlib
+
+        pkg = pathlib.Path("pubmed_and_method_ray")
+        offenders = []
+        for p in pkg.rglob("*.py"):
+            if p.name == "io.py" and p.parent.name == "sources":
+                continue
+            for i, line in enumerate(p.read_text().splitlines(), 1):
+                if "rd.read_parquet(" in line or "ray.data.read_parquet(" in line:
+                    offenders.append(f"{p}:{i}")
+        assert not offenders, f"raw read_parquet calls: {offenders}"
+
+
+class TestAnnIndexedAtRest:
+    def test_indexed_read_touches_only_probed_partitions(self, ray_session):
+        """The bucket-partitioned ANN variant must READ only the probed
+        lsh_bucket= partitions (partition-filter pushdown at rest), and
+        return exactly the filtered-scan variant's rows."""
+        import os
+
+        from pubmed_and_method_ray.pipelines.similarity import (
+            _load_query_vec,
+            ann_topk_lsh,
+            ann_topk_lsh_indexed,
+            build_lsh_index,
+            probed_partition_files,
+        )
+        from pubmed_and_method_ray.sources.io import read_parquet_clean
+
+        sf = "/root/testdata/sf0.001"
+        idx_dir = build_lsh_index(sf)
+        total_parts = sum(
+            1 for d in os.listdir(idx_dir) if d.startswith("lsh_bucket=")
+        )
+        q = _load_query_vec(sf, 0)
+        paths = probed_partition_files(idx_dir, q, 8)
+        assert paths, "indexed read found no partitions"
+        touched = {f.split("lsh_bucket=")[1].split("/")[0] for f in paths}
+        # probe set is qsig + 8 single-bit flips = at most 9 buckets
+        assert len(touched) <= 9 < total_parts
+        # the physical read plan sees exactly those files (index files are
+        # metadata-free, so read_parquet_clean skips the strip stage and
+        # input_files() stays visible)
+        assert sorted(read_parquet_clean(paths).input_files()) == sorted(paths)
+        got = ann_topk_lsh_indexed(sf).to_pandas().reset_index(drop=True)
+        want = ann_topk_lsh(sf).to_pandas().reset_index(drop=True)
+        assert got.equals(want)
+
+    def test_index_reused_and_invalidated(self, ray_session):
+        import os
+
+        from pubmed_and_method_ray.pipelines.similarity import build_lsh_index
+
+        sf = "/root/testdata/sf0.001"
+        d1 = build_lsh_index(sf)
+        m = os.path.join(d1, "_index_fingerprint")
+        t1 = os.path.getmtime(m)
+        d2 = build_lsh_index(sf)  # reuse: marker untouched
+        assert d1 == d2 and os.path.getmtime(m) == t1
+        with open(m, "w") as f:
+            f.write("stale")  # corrupt -> rebuild
+        build_lsh_index(sf)
+        assert open(m).read() != "stale"
