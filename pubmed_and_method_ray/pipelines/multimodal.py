@@ -2,10 +2,11 @@
 decoded / feature-extracted in actor-pool map_batches stages.
 
 ``mode='real'`` decode/resize runs on the dependency-free numpy raster
-codec (24-bit BMP and P6 PPM, functions/raster.py) — genuinely
-exercisable in this container. JPEG and video frame extraction
-remain a DECLARED stub boundary (NotImplementedError: they need
-PIL/ffmpeg, absent here); ``mode='fake'`` produces a deterministic
+codec (24-bit BMP, P6 PPM, 8-bit PNG, baseline JPEG —
+functions/raster.py) — genuinely exercisable in this container. Video
+frame extraction remains the one DECLARED stub boundary
+(NotImplementedError: it needs ffmpeg, absent here); ``mode='fake'``
+produces a deterministic
 content-hash stand-in so the oracle-checked plumbing — binary schema,
 small batch sizes for large payloads, actor signature, output layout —
 is testable on any payload. Swap ``decode_raster`` for a PIL/ffmpeg
@@ -18,6 +19,8 @@ import hashlib
 
 import numpy as np
 import pyarrow as pa
+
+from ..sources.io import read_parquet_clean
 
 PAYLOAD_SCHEMA = pa.schema(
     [
@@ -33,7 +36,6 @@ def payload_meta(sf_dir: str):
     """documents.text treated as an opaque binary payload: size + md5.
     (Oracle-checkable: octet_length + md5.)"""
     import ray.data as rd
-
     def f(t: pa.Table) -> pa.Table:
         raw = [(x or "").encode("utf-8") for x in t["text"].to_pylist()]
         return pa.Table.from_pydict(
@@ -46,7 +48,7 @@ def payload_meta(sf_dir: str):
             }
         )
 
-    return rd.read_parquet(
+    return read_parquet_clean(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     ).map_batches(f, batch_format="pyarrow")
 
@@ -64,9 +66,9 @@ def _fake_decode(payload: bytes) -> tuple[int, int, np.ndarray]:
 
 class DecodePayload:
     """Actor-pool decode stage. ``mode='real'`` decodes actual rasters
-    with the dependency-free numpy codec (24-bit BMP, P6 PPM —
-    functions/raster.py); JPEG/video remain a declared stub boundary (PNG decodes via the zlib+numpy codec)
-    (NotImplementedError: they need PIL/ffmpeg, absent here).
+    with the dependency-free numpy codec (24-bit BMP, P6 PPM, 8-bit
+    PNG, baseline JPEG — functions/raster.py); video frames remain the
+    declared stub boundary (NotImplementedError: needs ffmpeg).
     ``mode='fake'`` runs the deterministic content-hash fake so the
     oracle-checked plumbing is independent of payload format. Keep
     batch_size small — payload rows are wide."""
@@ -230,7 +232,7 @@ def decode_features(sf_dir: str, mode: str = "fake"):
         )
 
     return (
-        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
         .map_batches(to_payload, batch_format="pyarrow")
         .map_batches(
             DecodePayload,
@@ -257,7 +259,7 @@ def _payload_ds(sf_dir: str):
             schema=PAYLOAD_SCHEMA,
         )
 
-    return rd.read_parquet(
+    return read_parquet_clean(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     ).map_batches(to_payload, batch_format="pyarrow")
 

@@ -204,6 +204,52 @@ class TestRasterCodec:
         )
         assert np.array_equal(decode_png(payload), px[:, :, :3])
 
+    def test_jpeg_roundtrip_within_loss(self):
+        """Baseline JPEG encode->decode: exact dims, solid colors near-
+        exact (DC-only blocks), smooth gradients within normal JPEG loss
+        — including non-multiple-of-8 dimensions (edge-replicated pad)."""
+        import numpy as np
+
+        from pubmed_and_method_ray.functions.raster import (
+            decode_jpeg,
+            decode_raster,
+            encode_jpeg,
+        )
+
+        solid = np.full((24, 40, 3), [200, 60, 30], dtype=np.uint8)
+        dec = decode_jpeg(encode_jpeg(solid))
+        assert dec.shape == (24, 40, 3)
+        assert np.abs(dec.astype(int) - solid.astype(int)).max() <= 1
+
+        h, w = 33, 50
+        yy, xx = np.mgrid[0:h, 0:w]
+        grad = np.stack(
+            [yy * 255 // h, xx * 255 // w, (yy + xx) * 255 // (h + w)], axis=2
+        ).astype(np.uint8)
+        payload = encode_jpeg(grad)
+        dec = decode_raster(payload)  # magic-byte sniffing path
+        assert dec.shape == (h, w, 3)
+        err = np.abs(dec.astype(int) - grad.astype(int))
+        assert err.mean() < 4 and err.max() < 32
+
+    def test_jpeg_rejects_non_baseline(self):
+        import numpy as np
+
+        from pubmed_and_method_ray.functions.raster import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        px = np.zeros((8, 8, 3), dtype=np.uint8)
+        payload = bytearray(encode_jpeg(px))
+        # flip SOF0 (0xC0) to SOF2 (progressive): must raise, not corrupt
+        i = payload.find(b"\xff\xc0")
+        payload[i + 1] = 0xC2
+        with pytest.raises(NotImplementedError):
+            decode_jpeg(bytes(payload))
+        with pytest.raises(ValueError):
+            decode_jpeg(b"\x00\x01not a jpeg")
+
     def test_png_unsupported_shapes_rejected(self):
         import struct
         import zlib
@@ -257,6 +303,28 @@ class TestDecodeActors:
             resize_nearest(_gradient_rgb(8, 5), 4, 4).tobytes()
         ).hexdigest()[:16]
         assert o["resized_checksum"][0].as_py() == want
+
+    def test_real_mode_decodes_baseline_jpeg(self):
+        """mode='real' decodes actual baseline JFIF streams: dims exact,
+        features within JPEG loss of the source pixel statistics."""
+        import numpy as np
+
+        from pubmed_and_method_ray.functions.raster import encode_jpeg
+
+        payloads = [encode_jpeg(_gradient_rgb(8 + i, 5 + i)) for i in range(4)]
+        b = pa.Table.from_pydict(
+            {
+                "doc_id": list(range(4)),
+                "payload": payloads,
+                "media_type": ["image/jpeg"] * 4,
+                "payload_bytes": [len(p) for p in payloads],
+            }
+        )
+        o = DecodePayload(mode="real")(b)
+        assert o["width"].to_pylist() == [8, 9, 10, 11]
+        assert o["height"].to_pylist() == [5, 6, 7, 8]
+        px0 = _gradient_rgb(8, 5)
+        assert abs(o["f0"][0].as_py() - px0[:, :, 0].mean() / 255.0) < 0.02
 
     def test_real_mode_stub_boundary(self):
         """Non-raster payloads in real mode stay a declared stub."""
