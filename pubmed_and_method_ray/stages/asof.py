@@ -121,6 +121,34 @@ def _asof_block(
     return pa.Table.from_pydict(cols).cast(out_schema)
 
 
+def _heavy_keys(ds, key_col: str, threshold: int, sample_mod: int = 8):
+    """Sampled per-key row census -> {key: scaled count} for keys above
+    ``threshold`` (the mega-key guard's detection pass; approximate is
+    fine — salting is a load/memory device, never a correctness one)."""
+    import pyarrow.compute as pc
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t[key_col]
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        if sample_mod > 1:
+            keep = (
+                np.arange(len(col), dtype=np.int64) % sample_mod == 0
+            )  # deterministic row-stride sample
+            col = col.filter(pa.array(keep))
+        vc = col.value_counts()
+        return pa.Table.from_pydict(
+            {"k": vc.field("values"), "n": vc.field("counts")}
+        )
+
+    counts: dict = {}
+    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow", batch_size=262144
+    ):
+        for k, n in zip(b["k"].to_pylist(), b["n"].to_pylist()):
+            counts[k] = counts.get(k, 0) + n * sample_mod
+    return {k: n for k, n in counts.items() if n > threshold}
+
+
 def asof_join(
     left_ds,
     right_ds,
@@ -129,12 +157,28 @@ def asof_join(
     right_cols: list[str],
     suffix: str = "_prev",
     strict: bool = True,
+    salt_threshold: int | None = None,
 ):
     """As-of join two Datasets. Output: every LEFT column plus each of
     ``right_cols`` from the matched right row renamed ``{col}{suffix}``
     (``ts_col`` is matched by time, so its suffixed copy is included
     automatically when listed in ``right_cols``). ``strict``: match
-    right.ts < left.ts (True) or <= (False). Inner semantics."""
+    right.ts < left.ts (True) or <= (False). Inner semantics.
+
+    ``salt_threshold``: mega-key guard (off by default — it adds a
+    census pass over the probe side). Keys whose LEFT row count exceeds
+    it split into S = ceil(n/threshold) salt groups: probe rows hash to
+    one group, the key's RIGHT rows replicate to every group, and the
+    exchange partitions on (key, salt) so no single task holds the whole
+    key. Replicated rights are harmless to correctness — a probe row's
+    predecessor is the same row whichever replica the kernel finds —
+    so the block kernel is unchanged. Memory per task drops from
+    O(n_left + n_right) to O(n_left/S + n_right) for the hot key; a
+    right side too big for one task needs time-range partitioning
+    (not provided). Without the guard, a key larger than a partition
+    block still computes correctly on this Ray version (one block per
+    hash partition) but serializes in one task — the same documented
+    assumption as pair-gen (stages/blocking.py)."""
     def _arrow_type(t) -> pa.DataType:
         # Ray's Schema reports pandas-backed object columns as the
         # PYTHON class, not an Arrow type; normalize (parquet-backed
@@ -155,16 +199,50 @@ def asof_join(
     if lt[key_col] != rt[key_col]:
         raise TypeError(f"key dtype mismatch: {lt[key_col]} vs {rt[key_col]}")
 
-    # combined exchange schema: left cols + suffixed right payload + side
+    # mega-key guard: S salt groups per heavy probe key (see docstring)
+    salt_of: dict = {}
+    if salt_threshold is not None:
+        salt_of = {
+            k: -(-n // salt_threshold)
+            for k, n in _heavy_keys(left_ds, key_col, salt_threshold).items()
+        }
+    salted = bool(salt_of)
+
+    # combined exchange schema: left cols + suffixed right payload
+    # (+ salt when the guard is active) + side
     combined = [(c, lt[c]) for c in left_cols]
     combined += [(f"{c}{suffix}", rt[c]) for c in right_cols]
-    combined_schema = pa.schema(combined + [(_SIDE, pa.int8())])
+    extra = [("__asof_salt", pa.int32())] if salted else []
+    combined_schema = pa.schema(combined + extra + [(_SIDE, pa.int8())])
     out_schema = pa.schema(combined)
+
+    def _salts(t: pa.Table) -> np.ndarray:
+        """Per-row S (1 for light keys) from the broadcast heavy map."""
+        S = np.ones(t.num_rows, dtype=np.int64)
+        if salt_of:
+            for i, k in enumerate(t[key_col].to_pylist()):
+                s = salt_of.get(k)
+                if s:
+                    S[i] = s
+        return S
 
     def tag_left(t: pa.Table) -> pa.Table:
         n = t.num_rows
         arrs = [t[c].combine_chunks() for c in left_cols]
         arrs += [_null_array(n, rt[c]) for c in right_cols]
+        if salted:
+            from ..functions.hashing import splitmix64
+
+            S = _salts(t)
+            ts_u = np.asarray(
+                t[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            ).astype(np.uint64)
+            arrs.append(
+                pa.array(
+                    (splitmix64(ts_u) % S.astype(np.uint64)).astype(np.int32),
+                    pa.int32(),
+                )
+            )
         arrs.append(pa.array(np.ones(n, dtype=np.int8)))
         return pa.Table.from_arrays(arrs, schema=combined_schema)
 
@@ -179,14 +257,32 @@ def asof_join(
             else:
                 arrs.append(_null_array(n, lt[c]))
         arrs += [t[c].combine_chunks() for c in right_cols]
-        arrs.append(pa.array(np.zeros(n, dtype=np.int8)))
-        return pa.Table.from_arrays(arrs, schema=combined_schema)
+        out = pa.Table.from_arrays(
+            arrs + [pa.array(np.zeros(n, dtype=np.int8))],
+            schema=pa.schema(combined + [(_SIDE, pa.int8())]),
+        )
+        if not salted:
+            return out
+        # replicate each heavy key's right rows to every salt group so
+        # any probe group sees the key's full right history
+        S = _salts(t)
+        take = np.repeat(np.arange(n, dtype=np.int64), S)
+        rep = out.take(pa.array(take, pa.int64()))
+        cum = np.cumsum(S) - S
+        salt = (np.arange(len(take), dtype=np.int64) - np.repeat(cum, S)).astype(
+            np.int32
+        )
+        side = rep[_SIDE]
+        rep = rep.drop_columns([_SIDE])
+        rep = rep.append_column("__asof_salt", pa.array(salt, pa.int32()))
+        return rep.append_column(_SIDE, side).cast(combined_schema)
 
     unioned = left_ds.map_batches(tag_left, batch_format="pyarrow").union(
         right_ds.map_batches(tag_right, batch_format="pyarrow")
     )
+    part_keys = [key_col, "__asof_salt"] if salted else [key_col]
     return unioned.repartition(
-        num_blocks=shuffle_partitions(), keys=[key_col]
+        num_blocks=shuffle_partitions(), keys=part_keys
     ).map_batches(
         lambda t: _asof_block(
             t, key_col, ts_col, left_cols, right_out, strict, out_schema
@@ -220,6 +316,15 @@ def _range_block(
     _, codes = np.unique(
         t[key_col].to_numpy(zero_copy_only=False), return_inverse=True
     )
+    salted = "__rj_sa" in t.column_names
+    if salted:
+        sa = np.asarray(t["__rj_sa"].to_numpy(zero_copy_only=False), np.int64)
+        sb = np.asarray(t["__rj_sb"].to_numpy(zero_copy_only=False), np.int64)
+        part = np.asarray(t["__rj_p"].to_numpy(zero_copy_only=False), np.int64)
+        # fold the salt-group identity into the run code so triangle
+        # groups of one key never mix (a row is replicated across groups)
+        nmax = max(int(sb.max()) + 1, 1)
+        codes = (codes * nmax + sa) * nmax + sb
     n = len(ts)
     order = np.lexsort((ts, codes))
     ks, tss = codes[order], ts[order]
@@ -243,6 +348,15 @@ def _range_block(
     )
     la = order[left_pos]
     ra = order[right_pos]
+    if salted:
+        # diagonal (i,i) groups own within-part pairs; off-diagonal
+        # (i,j) groups own cross-part pairs only — exactly-once coverage
+        # (the triangle-join rule of stages/blocking.py)
+        diag = sa[la] == sb[la]
+        keep = np.where(diag, True, part[la] != part[ra])
+        la, ra = la[keep], ra[keep]
+        if not len(la):
+            return out_schema.empty_table()
     li = pa.array(la, pa.int64())
     ri = pa.array(ra, pa.int64())
     cols: dict[str, pa.Array] = {key_col: t[key_col].take(li)}
@@ -253,7 +367,14 @@ def _range_block(
     return pa.Table.from_pydict(cols).cast(out_schema)
 
 
-def range_self_join(ds, key_col: str, ts_col: str, window: int, emit_cols: list[str]):
+def range_self_join(
+    ds,
+    key_col: str,
+    ts_col: str,
+    window: int,
+    emit_cols: list[str],
+    salt_threshold: int | None = None,
+):
     """Range join (self): every ordered within-key row pair (a, b) with
     a.ts < b.ts <= a.ts + ``window`` (ts units; equal timestamps never
     pair). Same single-exchange shape as asof_join: hash-partition on the
@@ -264,9 +385,14 @@ def range_self_join(ds, key_col: str, ts_col: str, window: int, emit_cols: list[
     twice (``_a``/``_b``), and ``gap_us``.
 
     Range joins explode quadratically inside a (key, window) cell by
-    definition — callers bound the window, and a skewed key needs the
-    salting treatment of blocking.py if one key's rows outgrow a task
-    (documented assumption, same as pair-gen)."""
+    definition — callers bound the window. ``salt_threshold`` turns on
+    the mega-key guard: keys above it triangle-split into
+    S = ceil(n/threshold) groups (a row with part p replicates to every
+    group pair containing p; diagonal groups emit within-part pairs,
+    off-diagonal groups cross-part pairs only — the exactly-once rule of
+    stages/blocking.py), and the exchange partitions on (key, sa, sb) so
+    no task holds a whole hot key. Off by default: it adds a census pass
+    and S-way replication of hot-key rows."""
     schema = ds.schema()
 
     def _arrow_type(t) -> pa.DataType:
@@ -283,8 +409,56 @@ def range_self_join(ds, key_col: str, ts_col: str, window: int, emit_cols: list[
     fields.append(("gap_us", pa.int64()))
     out_schema = pa.schema(fields)
 
-    return ds.repartition(num_blocks=shuffle_partitions(), keys=[key_col]).map_batches(
-        lambda t: _range_block(t, key_col, ts_col, window, emit_cols, out_schema),
-        batch_format="pyarrow",
-        batch_size=None,
+    salt_of: dict = {}
+    if salt_threshold is not None:
+        salt_of = {
+            k: -(-n // salt_threshold)
+            for k, n in _heavy_keys(ds, key_col, salt_threshold).items()
+        }
+    if not salt_of:
+        return ds.repartition(
+            num_blocks=shuffle_partitions(), keys=[key_col]
+        ).map_batches(
+            lambda t: _range_block(t, key_col, ts_col, window, emit_cols, out_schema),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+
+    from ..functions.hashing import splitmix64
+
+    def replicate(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        n = t.num_rows
+        S = np.ones(n, dtype=np.int64)
+        for i, k in enumerate(t[key_col].to_pylist()):
+            s = salt_of.get(k)
+            if s:
+                S[i] = s
+        ts_u = np.asarray(
+            t[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ).astype(np.uint64)
+        p = (splitmix64(ts_u) % S.astype(np.uint64)).astype(np.int64)
+        take = np.repeat(np.arange(n, dtype=np.int64), S)
+        cum = np.cumsum(S) - S
+        q = np.arange(len(take), dtype=np.int64) - np.repeat(cum, S)
+        p_rep = np.repeat(p, S)
+        out = t.take(pa.array(take, pa.int64()))
+        out = out.append_column("__rj_p", pa.array(p_rep.astype(np.int32), pa.int32()))
+        out = out.append_column(
+            "__rj_sa", pa.array(np.minimum(p_rep, q).astype(np.int32), pa.int32())
+        )
+        return out.append_column(
+            "__rj_sb", pa.array(np.maximum(p_rep, q).astype(np.int32), pa.int32())
+        )
+
+    return (
+        ds.map_batches(replicate, batch_format="pyarrow")
+        .repartition(
+            num_blocks=shuffle_partitions(), keys=[key_col, "__rj_sa", "__rj_sb"]
+        )
+        .map_batches(
+            lambda t: _range_block(t, key_col, ts_col, window, emit_cols, out_schema),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
     )

@@ -226,3 +226,58 @@ class TestRangeSelfJoin:
         assert set(zip(got.event_id_a, got.event_id_b)) == set(
             zip(m.event_id_a, m.event_id_b)
         )
+
+
+class TestMegaKeySalting:
+    def test_asof_single_hot_key_salted_matches_unsalted(self):
+        """One key holding nearly all probe rows, salt_threshold far below
+        its count: the (key, salt) exchange must reproduce the unsalted
+        result exactly (right-side replication per salt group)."""
+        rng = np.random.RandomState(11)
+        n_l, n_r = 3000, 400
+        ldf = pd.DataFrame({
+            "k": np.r_[np.zeros(n_l - 10, np.int64), np.arange(1, 11)],
+            "t": rng.randint(0, 100_000, n_l).astype(np.int64),
+            "lid": np.arange(n_l),
+        })
+        rdf = pd.DataFrame({
+            "k": np.r_[np.zeros(n_r - 5, np.int64), np.arange(1, 6)],
+            "t": rng.randint(0, 100_000, n_r).astype(np.int64),
+            "rid": np.arange(n_r),
+        }).drop_duplicates(["k", "t"]).reset_index(drop=True)
+        base = asof_join(
+            rd.from_pandas(ldf), rd.from_pandas(rdf),
+            key_col="k", ts_col="t", right_cols=["rid"],
+        ).to_pandas().sort_values("lid").reset_index(drop=True)
+        salted = asof_join(
+            rd.from_pandas(ldf), rd.from_pandas(rdf),
+            key_col="k", ts_col="t", right_cols=["rid"],
+            salt_threshold=100,  # hot key -> ~30 salt groups
+        ).to_pandas().sort_values("lid").reset_index(drop=True)
+        assert base.equals(salted)
+        assert len(base) > 1000
+
+    def test_range_single_hot_key_salted_matches_unsalted(self):
+        from pubmed_and_method_ray.stages.asof import range_self_join
+
+        rng = np.random.RandomState(13)
+        n = 1200
+        df = pd.DataFrame({
+            "k": np.r_[np.zeros(n - 8, np.int64), np.arange(1, 9)],
+            "t": rng.choice(np.arange(0, 500_000, 7), n, replace=False).astype(np.int64),
+            "eid": np.arange(n),
+        })
+
+        def run(thresh):
+            out = range_self_join(
+                rd.from_pandas(df), key_col="k", ts_col="t",
+                window=3000, emit_cols=["eid"], salt_threshold=thresh,
+            ).to_pandas().sort_values(["eid_a", "eid_b"]).reset_index(drop=True)
+            return out
+
+        base = run(None)
+        salted = run(50)  # hot key of ~1192 rows -> ~24 salt groups
+        assert len(base) > 500
+        assert base.equals(salted)
+        # exactly-once: no duplicate pairs
+        assert not salted.duplicated(["eid_a", "eid_b"]).any()
