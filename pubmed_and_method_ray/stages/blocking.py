@@ -277,6 +277,26 @@ def _pair_bucket(gk: np.ndarray, sa: np.ndarray, sb: np.ndarray, n_buckets: int)
     return (splitmix64(mix) % np.uint64(n_buckets)).astype(np.int32)
 
 
+def pack_heavy_hosts(
+    keys: np.ndarray, counts: np.ndarray, n_buckets: int
+) -> np.ndarray:
+    """Greedy work-balanced bucket assignment for heavy (but unsalted)
+    hosts: pair work per host scales as count^2, and Zipf host sizes
+    make hash-assigned buckets wildly uneven (measured 1ms-18.9s task
+    skew across one wave — the high-width straggler). Sort by work
+    descending, assign each host to the currently-lightest bucket
+    (classic LPT packing). Light hosts stay hash-assigned."""
+    order = np.argsort(counts.astype(np.float64) ** 2)[::-1]
+    loads = np.zeros(n_buckets, dtype=np.float64)
+    out = np.empty(len(keys), dtype=np.int32)
+    w = counts.astype(np.float64) ** 2
+    for i in order:
+        b = int(np.argmin(loads))
+        out[i] = b
+        loads[b] += w[i]
+    return out
+
+
 def emit_pair_keys(
     batch: pa.Table, skew_ref, n_max: int, keep_gold: bool, n_buckets: int
 ) -> pa.Table:
@@ -284,10 +304,18 @@ def emit_pair_keys(
     host key, skew membership via searchsorted against the broadcast
     host-skew arrays; only rare mega-HOST rows go through a Python
     triangle-replication loop. Emits (host_h, n_true, salt, sa, sb,
-    bucket) — banding happens locally in the bucket task."""
+    bucket) — banding happens locally in the bucket task. The broadcast
+    carries (salt keys, salt counts, packed-host keys, packed buckets):
+    heavy-but-unsalted hosts take their pre-packed work-balanced bucket,
+    everything else hashes."""
     from .mention_prep import get_broadcast
 
-    skew_keys, skew_counts = get_broadcast(skew_ref)
+    bc = get_broadcast(skew_ref)
+    skew_keys, skew_counts = bc[0], bc[1]
+    pack_keys, pack_buckets = (
+        (bc[2], bc[3]) if len(bc) > 2 else
+        (np.empty(0, np.uint64), np.empty(0, np.int32))
+    )
     n = batch.num_rows
     hh = _host_hashes(batch)
 
@@ -348,10 +376,17 @@ def emit_pair_keys(
     out = out.append_column("sb", pa.array(sbs, pa.int32()))
     # group-bucketing: the pair-gen exchange shuffles on this small int
     # key and each downstream task then processes MANY hosts in one
-    # Python call (per-group map_groups overhead dominates otherwise)
-    return out.append_column(
-        "bucket", pa.array(_pair_bucket(hhs, sas, sbs, n_buckets), pa.int32())
-    )
+    # Python call (per-group map_groups overhead dominates otherwise).
+    # Heavy unsalted hosts take their LPT-packed bucket (work balance);
+    # the light tail and salted segments hash.
+    buckets = _pair_bucket(hhs, sas, sbs, n_buckets)
+    if len(pack_keys):
+        ppos = np.searchsorted(pack_keys, hhs)
+        ppos_c = np.minimum(ppos, len(pack_keys) - 1)
+        packed = pack_keys[ppos_c] == hhs
+        if packed.any():
+            buckets = np.where(packed, pack_buckets[ppos_c], buckets)
+    return out.append_column("bucket", pa.array(buckets, pa.int32()))
 
 
 _TRIU_CACHE: dict = {}
@@ -619,10 +654,25 @@ def _keyed_buckets(mentions_ds, n_max: int, keep_gold: bool):
 
     _check_block_integrity_assumption()
 
-    skew = skew_table_fast(mentions_ds, n_max)
-    skew_ref = ray.put(skew)
     n_rows, n_bytes = known_size(mentions_ds)
     n_buckets = n_pair_buckets(n_rows=n_rows, n_bytes=n_bytes)
+
+    # ONE census pass at the balance threshold serves two consumers:
+    # hosts > n_max get triangle-salted (memory/coverage), hosts in
+    # (balance_min, n_max] get LPT work-packing across buckets (their
+    # count^2 pair work is what skews a hash assignment)
+    balance_min = min(n_max, max(64, n_max // 8))  # never above n_max:
+    # the census must still surface every host that needs salting
+    keys, counts = skew_table_fast(mentions_ds, balance_min)
+    salt = counts > n_max
+    pack_keys, pack_counts = keys[~salt], counts[~salt]
+    skew = (
+        keys[salt],
+        counts[salt],
+        pack_keys,
+        pack_heavy_hosts(pack_keys, pack_counts, n_buckets),
+    )
+    skew_ref = ray.put(skew)
     keyed = mentions_ds.map_batches(
         emit_pair_keys,
         fn_kwargs={

@@ -166,6 +166,26 @@ class TestPartitionScaling:
         assert got == _brute_force_pairs(mentions)
 
 
+class TestHeavyHostPacking:
+    def test_lpt_pack_balances_quadratic_work(self):
+        import numpy as np
+
+        from pubmed_and_method_ray.stages.blocking import pack_heavy_hosts
+
+        # zipf-ish host sizes; hash assignment would lump the head
+        counts = np.array([500, 400, 300, 200, 100, 100, 90, 80], np.int64)
+        keys = np.arange(len(counts), dtype=np.uint64)
+        buckets = pack_heavy_hosts(keys, counts, 4)
+        assert buckets.min() >= 0 and buckets.max() < 4
+        w = counts.astype(float) ** 2
+        loads = np.bincount(buckets, weights=w, minlength=4)
+        # LPT guarantee: max load within 4/3 of optimum,
+        # optimum >= max(mean load, largest single host)
+        assert loads.max() <= (4 / 3) * max(w.sum() / 4, w.max()) + 1
+        # the two biggest hosts must land in different buckets
+        assert buckets[0] != buckets[1]
+
+
 class TestSkewCensus:
     def test_distributed_census_matches_driver_merge(self, mentions):
         """The off-driver (keyed-exchange) census path must agree exactly
