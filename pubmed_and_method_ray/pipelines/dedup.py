@@ -788,8 +788,8 @@ def dedup_canonical_docs(
     import pyarrow.compute as pc
 
     from ..stages.cluster import (
-        _union_find_arrays,
         connected_components_distributed,
+        min_label_components,
     )
 
     edges_ds = dedup_minhash_lsh(sf_dir, threshold=threshold).materialize()
@@ -851,15 +851,13 @@ def dedup_canonical_docs(
         if collected
         else np.empty(0, np.int64)
     )
-    nodes, labels = (
-        _union_find_arrays(u1.astype(object), u2.astype(object))
-        if len(u1)
-        else (np.empty(0, object), np.empty(0, object))
+    nodes_a, labels_a = min_label_components(
+        pa.array(u1, pa.int64()), pa.array(u2, pa.int64())
     )
     ref = ray.put(
         (
-            np.asarray(nodes, dtype=np.int64),
-            np.asarray(labels, dtype=np.int64),
+            np.asarray(nodes_a, dtype=np.int64),
+            np.asarray(labels_a, dtype=np.int64),
         )
     )
 

@@ -81,6 +81,37 @@ def _union_find_arrays(u1: np.ndarray, u2: np.ndarray):
     return all_urls, all_urls[parent]
 
 
+def min_label_components(a1: pa.Array, a2: pa.Array):
+    """Driver CC over edge endpoint ARROW arrays, no Python objects:
+    factorize with pyarrow (unique + sort + index_in are C-level hash
+    ops — np.unique over object strings was the driver hot spot), then
+    vectorized min-label edge relaxation + pointer jumping to the
+    fixpoint (components are near-cliques here, so a handful of rounds).
+    Returns (sorted-unique node Array, per-node min-node label Array) —
+    min code == lexicographically/numerically min node, matching
+    _union_find_arrays exactly."""
+    both = pa.chunked_array([a1, a2]).combine_chunks()
+    uniq = pa.compute.unique(both)
+    uniq_sorted = uniq.take(pa.compute.sort_indices(uniq))
+    codes = np.asarray(pa.compute.index_in(both, uniq_sorted), dtype=np.int64)
+    n_edges = len(a1)
+    c1, c2 = codes[:n_edges], codes[n_edges:]
+    parent = np.arange(len(uniq_sorted), dtype=np.int64)
+    while n_edges:
+        before = parent.copy()
+        m = np.minimum(parent[c1], parent[c2])
+        np.minimum.at(parent, c1, m)
+        np.minimum.at(parent, c2, m)
+        while True:
+            nxt = parent[parent]
+            if np.array_equal(nxt, parent):
+                break
+            parent = nxt
+        if np.array_equal(parent, before):
+            break
+    return uniq_sorted, uniq_sorted.take(pa.array(parent, pa.int64()))
+
+
 def connected_components_driver(edges_ds) -> dict[str, str]:
     """Union-find on the driver; returns {node: cluster_root}."""
 
@@ -209,17 +240,12 @@ def assign_clusters(
     collected: list | None = None
     if method == "auto":
         # single streaming pass: collect edge batches up to the driver
-        # budget (numpy arrays, no per-tuple Python objects); fall back
-        # to the distributed path only if the budget overflows
+        # budget as ARROW chunks (no per-string Python objects); fall
+        # back to the distributed path only if the budget overflows
         collected = []
         n_edges = 0
         for b in edges_ds.iter_batches(batch_format="pyarrow", batch_size=65536):
-            collected.append(
-                (
-                    _np.asarray(b["url_1"].to_pylist(), dtype=object),
-                    _np.asarray(b["url_2"].to_pylist(), dtype=object),
-                )
-            )
+            collected.append((b["url_1"].combine_chunks(), b["url_2"].combine_chunks()))
             n_edges += b.num_rows
             if n_edges > driver_max_edges:
                 collected = None
@@ -227,46 +253,42 @@ def assign_clusters(
         method = "driver" if collected is not None else "distributed"
 
     if method == "driver":
-        if collected is not None:
-            u1 = (
-                _np.concatenate([c[0] for c in collected])
-                if collected
-                else _np.empty(0, dtype=object)
-            )
-            u2 = (
-                _np.concatenate([c[1] for c in collected])
-                if collected
-                else _np.empty(0, dtype=object)
-            )
-        else:
-            parts1, parts2 = [], []
-            for b in edges_ds.iter_batches(batch_format="pyarrow", batch_size=65536):
-                parts1.append(_np.asarray(b["url_1"].to_pylist(), dtype=object))
-                parts2.append(_np.asarray(b["url_2"].to_pylist(), dtype=object))
-            u1 = _np.concatenate(parts1) if parts1 else _np.empty(0, dtype=object)
-            u2 = _np.concatenate(parts2) if parts2 else _np.empty(0, dtype=object)
-        urls_sorted, labels_arr = _union_find_arrays(u1, u2)
+        if collected is None:
+            collected = [
+                (b["url_1"].combine_chunks(), b["url_2"].combine_chunks())
+                for b in edges_ds.iter_batches(
+                    batch_format="pyarrow", batch_size=65536
+                )
+            ]
+        empty = pa.array([], pa.string())
+        a1 = (
+            pa.chunked_array([c[0] for c in collected]).combine_chunks()
+            if collected
+            else empty
+        )
+        a2 = (
+            pa.chunked_array([c[1] for c in collected]).combine_chunks()
+            if collected
+            else empty
+        )
+        urls_sorted, labels_arr = min_label_components(a1, a2)
         mapping = _as_ref((urls_sorted, labels_arr))
 
         def assign(t: pa.Table, mapping_ref=mapping) -> pa.Table:
             # task-based (not an actor pool): runs on every CPU with no
             # actor spin-up; the (urls, labels) arrays fetch once per
-            # worker via the broadcast cache, and the lookup is a
-            # C-level hash indexer, not a per-row Python dict get
-            import pandas as pd
+            # worker via the broadcast cache, and the whole lookup is
+            # C-level arrow kernels (index_in hash probe + take +
+            # coalesce for the singleton fill), no per-row Python
+            import pyarrow.compute as pc
 
             from .mention_prep import get_broadcast
 
             urls_s, labels = get_broadcast(mapping_ref)
-            batch_urls = _np.asarray(t["url"].to_pylist(), dtype=object)
-            idx = pd.Index(urls_s).get_indexer(batch_urls)
-            cids = _np.where(idx >= 0, labels[_np.maximum(idx, 0)], batch_urls)
-            return pa.Table.from_pydict(
-                {
-                    "url": pa.array(batch_urls, pa.string()),
-                    "cluster_id": pa.array(cids, pa.string()),
-                }
-            )
+            url_col = t["url"].combine_chunks()
+            idx = pc.index_in(url_col, urls_s)  # null where no edge
+            cids = pc.coalesce(labels.take(idx), url_col)
+            return pa.Table.from_pydict({"url": url_col, "cluster_id": cids})
 
         return mentions_ds.select_columns(["url"]).map_batches(
             assign, batch_format="pyarrow"
