@@ -2,14 +2,19 @@
 
 A ``pa.Schema`` carrying ANY key/value metadata dict — even an empty
 one — is unhashable (``hash(schema)`` raises ``unhashable type:
-'dict'``). Ray's hash-shuffle aggregators deduplicate partition-block
-schemas with ``set(schemas)`` (ray/data/_internal/arrow_ops/
-transform_pyarrow.py:unify_schemas), so every block whose schema still
-carries the parquet writer's ``b'pandas'`` metadata makes each
-aggregator log ``Failed to hash the schemas (for deduplication)`` and
-fall through to the slow unify path. The metadata is purely
-informational for this engine, so strip it at the read; the strip
-map fuses with the ReadParquet task and the replace is zero-copy.
+'dict'``). Ray's block-schema dedup (``set(schemas)`` in
+ray/data/_internal/arrow_ops/transform_pyarrow.py:unify_schemas) runs
+both in hash-shuffle aggregators AND inside the fused
+``ReadParquet->SplitBlocks`` read task itself, so any block born with
+the parquet writer's ``b'pandas'`` metadata logs ``Failed to hash the
+schemas (for deduplication)`` and falls through to the slow unify
+path. A downstream strip stage cannot silence the read-task instance —
+the blocks must be born clean. The metadata is purely informational
+for this engine, so the reader probes the first file's footer and
+passes an explicitly metadata-free ``schema=`` to ``read_parquet``;
+that also preserves ``input_files()`` for partition-pruned reads,
+which a ``map_batches`` wrapper would hide. The fused strip stage
+remains only for inconclusive probes (globs, remote paths).
 """
 
 from __future__ import annotations
@@ -24,31 +29,64 @@ def strip_schema_metadata(t: pa.Table) -> pa.Table:
     return t
 
 
-def _first_file_has_metadata(paths) -> bool:
-    """Cheap footer probe: True if the first path is a parquet FILE whose
-    schema carries key/value metadata (or the probe is inconclusive —
-    directory, glob, remote — in which case we strip defensively)."""
+def _probe_schema(paths) -> "pa.Schema | None":
+    """Footer schema of the first local parquet file under ``paths``
+    (descending one level into a directory), or None when inconclusive
+    (glob, remote, unreadable) — callers must then strip defensively."""
     import os
 
     import pyarrow.parquet as pq
 
     p = paths[0] if isinstance(paths, (list, tuple)) else paths
     try:
-        if not (isinstance(p, str) and os.path.isfile(p)):
-            return True
-        return pq.ParquetFile(p).schema_arrow.metadata is not None
+        if not isinstance(p, str):
+            return None
+        if os.path.isdir(p):
+            inner = sorted(
+                f for f in os.listdir(p) if f.endswith(".parquet")
+            )
+            if not inner:
+                return None
+            p = os.path.join(p, inner[0])
+        if not os.path.isfile(p):
+            return None
+        return pq.ParquetFile(p).schema_arrow
     except Exception:
-        return True
+        return None
+
+
+def _cleaned(schema: pa.Schema) -> "pa.Schema | None":
+    """Schema with all key/value metadata removed (schema- and
+    field-level); None if it was already clean."""
+    dirty = schema.metadata is not None or any(
+        schema.field(i).metadata is not None for i in range(len(schema))
+    )
+    if not dirty:
+        return None
+    return pa.schema(
+        [schema.field(i).remove_metadata() for i in range(len(schema))],
+        metadata=None,
+    )
 
 
 def read_parquet_clean(paths, *, columns=None, **kwargs) -> "rd.Dataset":
-    """``rd.read_parquet`` + metadata strip (fused into the read task).
+    """``rd.read_parquet`` whose blocks carry no schema metadata.
 
-    When the footer probe shows the files are already metadata-free
-    (e.g. written by this engine's own ``write_parquet``), the strip
-    stage is skipped entirely — that also preserves ``input_files()``,
-    which a ``map_batches`` wrapper would hide."""
+    Probes the first file's footer: already-clean files (this engine's
+    own ``write_parquet`` output) read as-is; files with writer
+    metadata read under an explicit stripped ``schema=`` so the blocks
+    are clean from birth (no extra stage, ``input_files()`` intact).
+    Only an inconclusive probe falls back to the fused strip stage."""
+    if "schema" not in kwargs:
+        probed = _probe_schema(paths)
+        if probed is not None:
+            clean = _cleaned(probed)
+            if clean is None:
+                return rd.read_parquet(paths, columns=columns, **kwargs)
+            if columns is not None:
+                clean = pa.schema([clean.field(c) for c in columns])
+            return rd.read_parquet(
+                paths, columns=columns, schema=clean, **kwargs
+            )
     ds = rd.read_parquet(paths, columns=columns, **kwargs)
-    if not _first_file_has_metadata(paths):
-        return ds
     return ds.map_batches(strip_schema_metadata, batch_format="pyarrow")
