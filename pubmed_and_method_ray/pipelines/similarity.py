@@ -25,6 +25,23 @@ def _load_query_vec(sf_dir: str, query_vec_id: int) -> np.ndarray:
     return q / np.linalg.norm(q)
 
 
+def _emb_matrix(t: pa.Table, col: str = "embedding") -> np.ndarray:
+    """(rows, dim) float64 matrix from a list<float> column — zero-copy
+    flatten of the Arrow values buffer + reshape; replaces the per-row
+    ``np.stack([... for x in to_pylist()])`` that every similarity
+    kernel used to pay (Python object per element)."""
+    c = t.column(col).combine_chunks()
+    vals = np.asarray(c.values, dtype=np.float64)
+    offs = np.asarray(c.offsets, dtype=np.int64)
+    width = np.diff(offs)
+    if len(width) == 0:
+        return vals.reshape(0, 0)
+    if not (width == width[0]).all():
+        raise ValueError("ragged embedding column")
+    # offsets may not start at 0 after slicing — honor the first offset
+    return vals[offs[0] : offs[-1]].reshape(-1, int(width[0]))
+
+
 def ann_topk(sf_dir: str, query_vec_id: int = 0, k: int = 10):
     """Exact top-k by cosine vs one query vector. Ray shape: broadcast the
     (tiny) query, per-batch vectorized scores, per-batch local top-k
@@ -41,7 +58,7 @@ def ann_topk(sf_dir: str, query_vec_id: int = 0, k: int = 10):
 
         def __call__(self, t: pa.Table) -> pa.Table:
             ids = np.asarray(t["vec_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
-            V = np.stack([np.asarray(x, dtype=np.float64) for x in t["embedding"].to_pylist()])
+            V = _emb_matrix(t)
             V = V / np.linalg.norm(V, axis=1, keepdims=True)
             cos = V @ self.q
             keep = ids != query_vec_id
@@ -93,7 +110,7 @@ def ann_topk_lsh(sf_dir: str, query_vec_id: int = 0, k: int = 10, n_planes: int 
 
         def __call__(self, t: pa.Table) -> pa.Table:
             ids = np.asarray(t["vec_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
-            V = np.stack([np.asarray(x, dtype=np.float64) for x in t["embedding"].to_pylist()])
+            V = _emb_matrix(t)
             sigs = np.packbits((V @ self.planes.T) > 0, axis=1, bitorder="little")[:, 0]
             keep = np.array([s in self.probe for s in sigs]) & (ids != query_vec_id)
             ids, V = ids[keep], V[keep]
@@ -156,9 +173,7 @@ def build_lsh_index(
     planes = lsh_planes(n_planes, dim)
 
     def add_bucket(t: pa.Table) -> pa.Table:
-        V = np.stack(
-            [np.asarray(x, dtype=np.float64) for x in t["embedding"].to_pylist()]
-        )
+        V = _emb_matrix(t)
         sigs = np.packbits((V @ planes.T) > 0, axis=1, bitorder="little")[:, 0]
         return t.append_column(
             "lsh_bucket", pa.array(sigs.astype(np.int32), pa.int32())
@@ -223,9 +238,7 @@ def ann_topk_lsh_indexed(
 
         q_ = get_broadcast(qref)
         ids = np.asarray(t["vec_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
-        V = np.stack(
-            [np.asarray(x, dtype=np.float64) for x in t["embedding"].to_pylist()]
-        )
+        V = _emb_matrix(t)
         keep = ids != query_vec_id
         ids, V = ids[keep], V[keep]
         if len(ids) == 0:
@@ -262,7 +275,7 @@ def ivf_centroids(ds, n_lists: int, dim: int):
     def partial(t: pa.Table) -> pa.Table:
         vid = t["vec_id"].to_numpy(zero_copy_only=False)
         bkt = md5_u64_array([str(int(v)) for v in vid]) % np.uint64(n_lists)
-        V = np.stack([np.asarray(x, dtype=np.float64) for x in t["embedding"].to_pylist()])
+        V = _emb_matrix(t)
         F = np.floor(V * 1e6 + 0.5).astype(np.int64)
         rows = []
         for b in np.unique(bkt):
@@ -320,7 +333,7 @@ def ann_topk_ivf(
 
         C_, q_, probe_ = get_broadcast(ref)
         vid = np.asarray(t["vec_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
-        V = np.stack([np.asarray(x, dtype=np.float64) for x in t["embedding"].to_pylist()])
+        V = _emb_matrix(t)
         V = V / np.linalg.norm(V, axis=1, keepdims=True)
         dots = np.round(V @ C_.T, 9)  # (batch, n_lists)
         dots[np.isnan(dots)] = -np.inf
@@ -349,14 +362,186 @@ def ann_topk_ivf(
     )
 
 
+def build_ivf_index(
+    sf_dir: str, n_lists: int = 16, out_dir: str | None = None
+) -> str:
+    """ONE-TIME physical layout for IVF ANN at rest: fit the
+    deterministic hash-bucket centroids distributed (ivf_centroids),
+    assign every vector to its max-dot list with the SAME
+    round-9/lowest-list tiebreak as the query side, and write the
+    embeddings partitioned hive-style by ``ivf_list=<l>/``. The centroid
+    matrix rides in the index dir (centroids.parquet) so queries never
+    touch the source table. Idempotent via a fingerprint marker, exactly
+    like build_lsh_index. Like the crawler's out_dir, the index dir must
+    be on storage shared by driver and workers."""
+    import hashlib
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+    import ray
+
+    src = f"{sf_dir}/embeddings.parquet"
+    st = os.stat(src)
+    fp = hashlib.blake2b(
+        f"{src}:{st.st_size}:{st.st_mtime_ns}:lists={n_lists}:v1".encode(),
+        digest_size=8,
+    ).hexdigest()
+    out_dir = out_dir or (
+        f"/tmp/ann_ivf_index_{os.path.basename(os.path.normpath(sf_dir))}_{n_lists}"
+    )
+    marker = os.path.join(out_dir, "_index_fingerprint")
+    if os.path.exists(marker) and open(marker).read() == fp:
+        return out_dir
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    first = pq.ParquetFile(src).read_row_group(0, columns=["embedding"])
+    dim = len(first["embedding"][0].as_py())
+    ds = read_parquet_clean(src, columns=["vec_id", "embedding"])
+    C = ivf_centroids(ds, n_lists, dim=dim)
+    cref = ray.put(C)
+
+    def add_list(t: pa.Table) -> pa.Table:
+        from ..stages.mention_prep import get_broadcast
+
+        C_ = get_broadcast(cref)
+        V = _emb_matrix(t)
+        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        dots = np.round(Vn @ C_.T, 9)
+        dots[np.isnan(dots)] = -np.inf
+        lists = np.argmax(dots, axis=1)  # first max == lowest list id
+        return t.append_column(
+            "ivf_list", pa.array(lists.astype(np.int32), pa.int32())
+        )
+
+    ds.map_batches(add_list, batch_format="pyarrow").write_parquet(
+        out_dir, partition_cols=["ivf_list"]
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    pq.write_table(
+        pa.Table.from_pydict(
+            {
+                "list_id": pa.array(range(n_lists), pa.int32()),
+                "centroid": pa.array(
+                    [row.tolist() for row in C], pa.list_(pa.float64())
+                ),
+            }
+        ),
+        os.path.join(out_dir, "centroids.parquet"),
+    )
+    with open(marker, "w") as f:
+        f.write(fp)
+    return out_dir
+
+
+def ivf_probed_partition_files(
+    idx_dir: str, q: np.ndarray, n_probe: int
+) -> tuple[list[str], np.ndarray]:
+    """(read set, centroid matrix) for an indexed IVF query: the
+    ``n_probe`` lists with the highest centroid dot vs the query, files
+    enumerated explicitly (read_parquet rejects directories in a path
+    list). The file list IS the I/O bound the at-rest test asserts on."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    ct = pq.read_table(os.path.join(idx_dir, "centroids.parquet"))
+    order = np.asarray(ct["list_id"].to_numpy(zero_copy_only=False))
+    C = np.full((int(order.max()) + 1, len(q)), np.nan)
+    for lid, vec in zip(order, ct["centroid"].to_pylist()):
+        C[int(lid)] = np.asarray(vec, dtype=np.float64)
+    qdots = np.round(C @ q, 9)
+    qdots[np.isnan(qdots)] = -np.inf
+    probe = np.lexsort((np.arange(len(C)), -qdots))[:n_probe]
+    paths = [
+        os.path.join(part, f)
+        for l in sorted(int(x) for x in probe)
+        for part in [os.path.join(idx_dir, f"ivf_list={l}")]
+        if os.path.isdir(part)
+        for f in sorted(os.listdir(part))
+        if f.endswith(".parquet")
+    ]
+    return paths, C
+
+
+def ann_topk_ivf_indexed(
+    sf_dir: str,
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+):
+    """IVF ANN over the list-partitioned index: identical semantics and
+    results to ``ann_topk_ivf`` (same centroids, probe set, exact cosine
+    over candidates), but the READ touches only the probed ``ivf_list=``
+    partitions — I/O bounded by n_probe/n_lists of the files instead of
+    a full scan filtered per batch."""
+    import ray
+    import ray.data as rd
+
+    idx_dir = build_ivf_index(sf_dir, n_lists=n_lists)
+    q = _load_query_vec(sf_dir, query_vec_id)
+    paths, _ = ivf_probed_partition_files(idx_dir, q, n_probe)
+    if not paths:
+        return rd.from_arrow(
+            pa.Table.from_pydict(
+                {"vec_id": pa.array([], pa.int64()), "cos_sim": pa.array([], pa.float64())}
+            )
+        )
+    qref = ray.put(q)
+
+    def score(t: pa.Table) -> pa.Table:
+        from ..stages.mention_prep import get_broadcast
+
+        q_ = get_broadcast(qref)
+        ids = np.asarray(t["vec_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        V = _emb_matrix(t)
+        keep = ids != query_vec_id
+        ids, V = ids[keep], V[keep]
+        if len(ids) == 0:
+            return pa.Table.from_pydict(
+                {"vec_id": pa.array([], pa.int64()), "cos_sim": pa.array([], pa.float64())}
+            )
+        V = V / np.linalg.norm(V, axis=1, keepdims=True)
+        cos = V @ q_
+        if len(ids) > k:
+            part = np.argpartition(-cos, k)[:k]
+            ids, cos = ids[part], cos[part]
+        return pa.Table.from_pydict(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "cos_sim": pa.array(np.round(cos, 9), pa.float64()),
+            }
+        )
+
+    ds = read_parquet_clean(paths, columns=["vec_id", "embedding"])
+    return (
+        ds.map_batches(score, batch_format="pyarrow", batch_size=512)
+        .sort("cos_sim", descending=True)
+        .limit(k)
+    )
+
+
 def embedding_norms(sf_dir: str):
     """Per-vector l2 norm (double-cast, round 9 — parity with the SQL
     oracle's sqrt(list_inner_product(v, v)))."""
     import ray.data as rd
 
     def norms(t: pa.Table) -> pa.Table:
-        V = [np.asarray(x, dtype=np.float64) for x in t["embedding"].to_pylist()]
-        n = [round(float(np.sqrt(np.dot(v, v))), 9) for v in V]
+        # zero-copy list flatten + segmented sum over offsets — no
+        # per-row Python
+        col = t.column("embedding").combine_chunks()
+        vals = np.asarray(col.values, dtype=np.float64)
+        offs = np.asarray(col.offsets, dtype=np.int64)
+        width = np.diff(offs)
+        if len(width) and (width == width[0]).all():
+            # fixed-width vectors: per-row dot (bit-parity with np.dot)
+            M = vals.reshape(-1, int(width[0]))
+            sums = np.einsum("ij,ij->i", M, M)
+        else:  # ragged fallback: segmented sum over offsets
+            cs = np.concatenate(([0.0], np.cumsum(vals * vals)))
+            sums = cs[offs[1:]] - cs[offs[:-1]]
+        n = np.round(np.sqrt(sums), 9)
         return pa.Table.from_pydict(
             {"vec_id": t["vec_id"], "l2_norm": pa.array(n, pa.float64())}
         )
