@@ -330,13 +330,16 @@ def cluster_pairs(clusters_ds):
     bounded; one groupby shuffle on cluster_id."""
 
     def pairs(g: pa.Table) -> pa.Table:
-        urls = sorted(g["url"].to_pylist())
-        u1 = [a for i, a in enumerate(urls) for _ in urls[i + 1 :]]
-        u2 = [b for i, _ in enumerate(urls) for b in urls[i + 1 :]]
+        import numpy as np
+        import pyarrow.compute as pc
+
+        col = g["url"].combine_chunks()
+        arr = col.take(pc.sort_indices(col))
+        i, j = np.triu_indices(len(arr), k=1)
         return pa.Table.from_pydict(
             {
-                "url_1": pa.array(u1, pa.string()),
-                "url_2": pa.array(u2, pa.string()),
+                "url_1": arr.take(pa.array(i, pa.int64())),
+                "url_2": arr.take(pa.array(j, pa.int64())),
             }
         )
 
