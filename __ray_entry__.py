@@ -99,9 +99,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
 
     # NOTE on ordering: the driver's CORRECTNESS snapshot records exactly
-    # the first 50 entries in insertion order. All 55 queries below are
+    # the first 50 entries in insertion order. All 57 queries below are
     # pytest-oracle-verified (tests/test_queries.py, tools/check_oracles.py);
-    # the 5 entries PAST the cutoff are each a strict alias or near-duplicate
+    # the 7 entries PAST the cutoff are each a strict alias or near-duplicate
     # of a driver-certified sibling, chosen so every SURVEY.md §2 row and
     # every extension family keeps at least one driver-certified row:
     #   dedup_ngram_jaccard  == pair_jaccard_docs filtered at 0.6 (alias)
@@ -111,6 +111,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     #   embedding_norms      ⊂ ann_topk / dedup_embedding_cosine (same norms)
     #   ann_topk_lsh         == ann_topk_lsh_indexed rows (same planes/probe;
     #                           indexed reads only probed partitions at rest)
+    #   ann_topk_ivf         == ann_topk_ivf_indexed rows (same centroids/
+    #                           probe; indexed reads only probed partitions)
     return {
         # -- flagship ER (model-driven; rows-only checks) ------------------
         "er_clusters": _er_clusters,
@@ -129,7 +131,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- similarity search --------------------------------------------
         "ann_topk": similarity.ann_topk,
         "ann_topk_lsh_indexed": similarity.ann_topk_lsh_indexed,
-        "ann_topk_ivf": similarity.ann_topk_ivf,
+        "ann_topk_ivf_indexed": similarity.ann_topk_ivf_indexed,
         # -- text analysis ------------------------------------------------
         "token_count_bpe": text_analysis.token_count_bpe,
         "quality_score": text_analysis.quality_score,
@@ -177,6 +179,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "payload_meta": multimodal.payload_meta,
         "embedding_norms": similarity.embedding_norms,
         "ann_topk_lsh": similarity.ann_topk_lsh,
+        "ann_topk_ivf": similarity.ann_topk_ivf,
     }
 
 
@@ -423,7 +426,7 @@ def oracle_sql() -> dict[str, str]:
         "list_inner_product(a.v, b.v) / "
         "(sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v)))"
     )
-    return {
+    d = {
         # flagship ER: the fixture plants perfectly separable clusters
         # (pytest-enforced F1 == 1.0), so the predicted partition equals
         # the gold partition and the oracle is the page-corpus structure
@@ -953,3 +956,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents"
         ),
     }
+    # identical result set: the IVF index changes the PHYSICAL read
+    # (probed ivf_list= partitions only), not the semantics
+    d["ann_topk_ivf_indexed"] = d["ann_topk_ivf"]
+    return d

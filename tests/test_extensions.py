@@ -276,6 +276,35 @@ class TestCleanParquetReads:
         assert not offenders, f"raw read_parquet calls: {offenders}"
 
 
+class TestSchemaCleanReads:
+    def test_dirty_file_reads_clean_with_input_files(self, ray_session):
+        """Files with pandas writer metadata must yield metadata-free
+        blocks AT THE READ (schema= pushdown, no strip stage) so Ray's
+        block-schema dedup never logs 'Failed to hash the schemas' from
+        inside the fused ReadParquet task — and input_files() stays
+        visible for partition-pruned reads."""
+        import pyarrow.parquet as pq
+
+        from pubmed_and_method_ray.sources.io import read_parquet_clean
+
+        src = "/root/testdata/sf0.001/region.parquet"
+        assert pq.ParquetFile(src).schema_arrow.metadata is not None
+        ds = read_parquet_clean(src)
+        assert ds.input_files() == [src]
+        b = ds.take_batch(5, batch_format="pyarrow")
+        assert b.schema.metadata is None
+        hash(b.schema)  # the exact op Ray's dedup needs to not raise
+
+    def test_column_pruned_dirty_read(self, ray_session):
+        from pubmed_and_method_ray.sources.io import read_parquet_clean
+
+        ds = read_parquet_clean(
+            "/root/testdata/sf0.001/region.parquet", columns=["r_name"]
+        )
+        b = ds.take_batch(3, batch_format="pyarrow")
+        assert b.column_names == ["r_name"] and b.schema.metadata is None
+
+
 class TestAnnIndexedAtRest:
     def test_indexed_read_touches_only_probed_partitions(self, ray_session):
         """The bucket-partitioned ANN variant must READ only the probed
@@ -326,3 +355,33 @@ class TestAnnIndexedAtRest:
             f.write("stale")  # corrupt -> rebuild
         build_lsh_index(sf)
         assert open(m).read() != "stale"
+
+    def test_ivf_indexed_read_touches_only_probed_partitions(self, ray_session):
+        """IVF at rest: the read set is bounded by n_probe of n_lists
+        ivf_list= partitions and the result equals the filtered-scan
+        variant exactly."""
+        import os
+
+        from pubmed_and_method_ray.pipelines.similarity import (
+            _load_query_vec,
+            ann_topk_ivf,
+            ann_topk_ivf_indexed,
+            build_ivf_index,
+            ivf_probed_partition_files,
+        )
+        from pubmed_and_method_ray.sources.io import read_parquet_clean
+
+        sf = "/root/testdata/sf0.001"
+        idx_dir = build_ivf_index(sf)
+        total_parts = sum(
+            1 for d in os.listdir(idx_dir) if d.startswith("ivf_list=")
+        )
+        q = _load_query_vec(sf, 0)
+        paths, _ = ivf_probed_partition_files(idx_dir, q, 4)
+        assert paths, "indexed read found no partitions"
+        touched = {f.split("ivf_list=")[1].split("/")[0] for f in paths}
+        assert len(touched) <= 4 < total_parts
+        assert sorted(read_parquet_clean(paths).input_files()) == sorted(paths)
+        got = ann_topk_ivf_indexed(sf).to_pandas().reset_index(drop=True)
+        want = ann_topk_ivf(sf).to_pandas().reset_index(drop=True)
+        assert got.equals(want)
