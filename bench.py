@@ -71,9 +71,9 @@ def run_benchmarks() -> dict:
     n_pages = read_parquet_clean(pages_dir, file_extensions=["parquet"]).count()  # warm page cache
 
     model = load_pretrained_model_json()
-    # min of three timed trials: single-trial noise on this box is up to ±40%
+    # min of four timed trials: single-trial noise on this box is up to ±40%
     trials = []
-    for _ in range(int(os.environ.get("GRAFT_ER_TRIALS", "3"))):
+    for _ in range(int(os.environ.get("GRAFT_ER_TRIALS", "4"))):
         t0 = time.perf_counter()
         pages = read_parquet_clean(pages_dir, file_extensions=["parquet"])
         out = run_er_pipeline(
