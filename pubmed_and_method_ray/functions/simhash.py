@@ -37,6 +37,28 @@ def simhash_from_hashes(hashes: np.ndarray) -> int:
     return int(np.packbits(votes > 0, bitorder="little").view(np.uint64)[0])
 
 
+def simhash_from_hashes_segmented(
+    flat_hashes: np.ndarray, offsets: np.ndarray
+) -> np.ndarray:
+    """Per-row SimHash over a flattened token-hash array: row i owns
+    ``flat_hashes[offsets[i]:offsets[i+1]]``. One (N, 64) bit unpack +
+    one reduceat instead of a per-row Python call; empty rows hash to 0.
+    Bit-identical to ``simhash_from_hashes`` row by row."""
+    rows = len(offsets) - 1
+    if rows <= 0:
+        return np.zeros(0, dtype=np.uint64)
+    bits = (
+        (flat_hashes[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+    ).astype(np.int64)
+    sums = np.add.reduceat(
+        np.vstack([bits, np.zeros((1, 64), dtype=np.int64)]), offsets[:-1], axis=0
+    )
+    n = np.diff(offsets)
+    sums[n == 0] = 0
+    votes = sums * 2 - n[:, None]
+    return np.packbits(votes > 0, axis=1, bitorder="little").view(np.uint64)[:, 0]
+
+
 def simhash64(tokens: list[str]) -> int:
     """64-bit SimHash over a token multiset (weight 1 per occurrence)."""
     if not tokens:

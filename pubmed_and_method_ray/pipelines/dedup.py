@@ -894,13 +894,24 @@ def dedup_simhash(sf_dir: str):
     md5_u64 (== DuckDB md5_number_upper) so the SQL oracle recomputes the
     same 64-bit sketch bit-for-bit."""
     from ..functions.hashing import md5_u64_array
-    from ..functions.simhash import simhash_from_hashes
+    from ..functions.simhash import simhash_from_hashes_segmented
 
     def add_simhash(t: pa.Table) -> pa.Table:
-        hs = [
-            f"{simhash_from_hashes(md5_u64_array((x or '').lower().split(' '))):016x}"
-            for x in t["text"].to_pylist()
-        ]
+        import pyarrow.compute as pc
+
+        lst = pc.split_pattern(
+            pc.utf8_lower(pc.coalesce(t["text"], pa.scalar(""))), " "
+        )
+        if isinstance(lst, pa.ChunkedArray):
+            lst = lst.combine_chunks()
+        offs = np.asarray(lst.offsets, dtype=np.int64)
+        vals = lst.values.slice(offs[0], offs[-1] - offs[0])
+        # md5 per token occurrence is the oracle contract; the bit-vote
+        # itself is one segmented kernel over the whole batch.
+        sims = simhash_from_hashes_segmented(
+            md5_u64_array(vals.to_pylist()), offs - offs[0]
+        )
+        hs = [f"{int(v):016x}" for v in sims]
         return pa.Table.from_pydict(
             {"simhash": pa.array(hs, pa.string()), "doc_id": t["doc_id"]}
         )

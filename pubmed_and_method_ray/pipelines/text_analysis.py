@@ -35,13 +35,45 @@ def _read_documents(sf_dir: str, columns=None):
     return read_parquet_clean(f"{sf_dir}/documents.parquet", columns=columns)
 
 
+def _split_tokens(t: pa.Table, lower: bool = False):
+    """Whitespace-split token lists of the batch's text column as
+    (flat values Array, rebased int64 offsets, per-row counts) — the
+    Arrow split kernel plus zero-copy offset math, replacing the
+    per-row ``(x or "").split(" ")`` loops. Offsets are rebased to the
+    values slice so callers can segment-reduce with np.add.reduceat."""
+    import pyarrow.compute as pc
+
+    s = pc.coalesce(t["text"], pa.scalar(""))
+    if lower:
+        s = pc.utf8_lower(s)
+    lst = pc.split_pattern(s, " ")
+    if isinstance(lst, pa.ChunkedArray):
+        lst = lst.combine_chunks()
+    offs = np.asarray(lst.offsets, dtype=np.int64)
+    vals = lst.values.slice(offs[0], offs[-1] - offs[0])
+    offs = offs - offs[0]
+    return vals, offs, np.diff(offs)
+
+
+def _segment_sum(hit: np.ndarray, offs: np.ndarray) -> np.ndarray:
+    """Per-row sums of ``hit`` (len == offs[-1]) over the segments given
+    by ``offs`` (len == rows+1, rebased). Empty segments sum to 0."""
+    if len(offs) <= 1:
+        return np.zeros(0, dtype=np.int64)
+    seg = np.add.reduceat(np.append(hit, 0), offs[:-1])
+    return np.where(np.diff(offs) == 0, 0, seg)
+
+
 def token_count(sf_dir: str):
     """(doc_id, n_tokens): space-split token count (oracle: len(str_split))."""
+    import pyarrow.compute as pc
 
     def f(t: pa.Table) -> pa.Table:
-        n = [len((x or "").split(" ")) for x in t["text"].to_pylist()]
+        n = pc.list_value_length(
+            pc.split_pattern(pc.coalesce(t["text"], pa.scalar("")), " ")
+        )
         return pa.Table.from_pydict(
-            {"doc_id": t["doc_id"], "n_tokens": pa.array(n, pa.int64())}
+            {"doc_id": t["doc_id"], "n_tokens": pc.cast(n, pa.int64())}
         )
 
     return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
@@ -58,32 +90,23 @@ BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]+"
 def token_count_bpe(sf_dir: str):
     """(doc_id, n_tokens, n_word, n_num, n_punct): BPE-ish regex token
     counts — the subword-tokenizer-budget estimator of a training-data
-    pipeline (vs the whitespace count in token_count). One compiled
-    regex, vectorizable per batch."""
-    import re
-
-    pat = re.compile(BPE_PATTERN)
-    wordp = re.compile(r"[A-Za-z]+")
-    nump = re.compile(r"[0-9]+")
+    pipeline (vs the whitespace count in token_count). Vectorized with
+    Arrow's RE2 match counter (count_substring_regex == len(findall)
+    for these non-overlapping run patterns)."""
+    import pyarrow.compute as pc
 
     def f(t: pa.Table) -> pa.Table:
-        n_all, n_w, n_n, n_p = [], [], [], []
-        for x in t["text"].to_pylist():
-            s = x or ""
-            total = len(pat.findall(s))
-            w = len(wordp.findall(s))
-            d = len(nump.findall(s))
-            n_all.append(total)
-            n_w.append(w)
-            n_n.append(d)
-            n_p.append(total - w - d)
+        s = pc.coalesce(t["text"], pa.scalar(""))
+        total = pc.cast(pc.count_substring_regex(s, BPE_PATTERN), pa.int64())
+        w = pc.cast(pc.count_substring_regex(s, r"[A-Za-z]+"), pa.int64())
+        d = pc.cast(pc.count_substring_regex(s, r"[0-9]+"), pa.int64())
         return pa.Table.from_pydict(
             {
                 "doc_id": t["doc_id"],
-                "n_tokens": pa.array(n_all, pa.int64()),
-                "n_word": pa.array(n_w, pa.int64()),
-                "n_num": pa.array(n_n, pa.int64()),
-                "n_punct": pa.array(n_p, pa.int64()),
+                "n_tokens": total,
+                "n_word": w,
+                "n_num": d,
+                "n_punct": pc.subtract(pc.subtract(total, w), d),
             }
         )
 
@@ -94,24 +117,28 @@ def token_count_bpe(sf_dir: str):
 
 def quality_score(sf_dir: str):
     """(doc_id, n_tokens, stopword_count, stop_ratio): the reference's
-    ratio-style quality flags (SURVEY.md M15 analog) as one vectorizable
-    pass; stop_ratio is an int/int division -> bit-identical to SQL."""
-    sw = set(QUALITY_STOPWORDS)
+    ratio-style quality flags (SURVEY.md M15 analog) as one vectorized
+    pass (Arrow split + is_in, segment sums over list offsets);
+    stop_ratio is an int/int division -> bit-identical to SQL."""
+    import pyarrow.compute as pc
+
+    sw_arr = pa.array(sorted(QUALITY_STOPWORDS), pa.string())
 
     def f(t: pa.Table) -> pa.Table:
-        n_toks, n_stop, ratio = [], [], []
-        for x in t["text"].to_pylist():
-            toks = (x or "").lower().split(" ")
-            s = sum(1 for w in toks if w in sw)
-            n_toks.append(len(toks))
-            n_stop.append(s)
-            ratio.append(s / len(toks) if toks else 0.0)
+        vals, offs, n_toks = _split_tokens(t, lower=True)
+        hit = (
+            pc.is_in(vals, value_set=sw_arr)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        n_stop = _segment_sum(hit, offs)
+        # split(" ") of "" is [""], so n_toks >= 1 always
         return pa.Table.from_pydict(
             {
                 "doc_id": t["doc_id"],
                 "n_tokens": pa.array(n_toks, pa.int64()),
                 "stopword_count": pa.array(n_stop, pa.int64()),
-                "stop_ratio": pa.array(ratio, pa.float64()),
+                "stop_ratio": pa.array(n_stop / n_toks, pa.float64()),
             }
         )
 
@@ -126,24 +153,49 @@ class LangId:
     break deterministically by language code."""
 
     def __init__(self):
-        self.markers = {k: frozenset(v) for k, v in LANG_MARKERS.items()}
+        self.langs = sorted(LANG_MARKERS)
+        self.marker_arrs = {
+            k: pa.array(sorted(set(LANG_MARKERS[k])), pa.string())
+            for k in self.langs
+        }
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        preds, confs = [], []
-        for x in t["text"].to_pylist():
-            toks = (x or "").lower().split(" ")
-            best_lang, best = "und", 0
-            for lang in sorted(self.markers):
-                hits = sum(1 for w in toks if w in self.markers[lang])
-                if hits > best:
-                    best, best_lang = hits, lang
-            preds.append(best_lang)
-            confs.append(best / len(toks) if toks else 0.0)
+        import pyarrow.compute as pc
+
+        if len(t) == 0:
+            return pa.Table.from_pydict(
+                {
+                    "doc_id": t["doc_id"],
+                    "pred_lang": pa.array([], pa.string()),
+                    "confidence": pa.array([], pa.float64()),
+                }
+            )
+        vals, offs, n_toks = _split_tokens(t, lower=True)
+        # (langs, rows) marker-hit counts; argmax picks the FIRST max,
+        # i.e. lang-code-asc tie-break, and max==0 stays "und" — the
+        # same comparator the scalar loop used.
+        hits = np.stack(
+            [
+                _segment_sum(
+                    pc.is_in(vals, value_set=self.marker_arrs[lang])
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64),
+                    offs,
+                )
+                for lang in self.langs
+            ]
+        )
+        best = hits.max(axis=0)
+        preds = np.where(
+            best > 0,
+            np.asarray(self.langs, dtype=object)[np.argmax(hits, axis=0)],
+            "und",
+        )
         return pa.Table.from_pydict(
             {
                 "doc_id": t["doc_id"],
-                "pred_lang": pa.array(preds, pa.string()),
-                "confidence": pa.array(confs, pa.float64()),
+                "pred_lang": pa.array(preds.tolist(), pa.string()),
+                "confidence": pa.array(best / n_toks, pa.float64()),
             }
         )
 
@@ -438,6 +490,18 @@ def redact_pii(sf_dir: str):
     )
 
 
+def _batch_tokens(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """(distinct tokens asc, counts) of a batch's whitespace tokens via
+    the vectorized Arrow split kernel (no per-row Python). Matches
+    ``(x or "").split(" ")`` row semantics (null/empty -> one "")."""
+    import pyarrow.compute as pc
+
+    flat = pc.list_flatten(
+        pc.split_pattern(pc.coalesce(t["text"], pa.scalar("")), " ")
+    )
+    return np.unique(flat.to_numpy(zero_copy_only=False), return_counts=True)
+
+
 # --- HyperLogLog-style approximate distinct count (Flajolet et al. 2007)
 # p=12 -> 4096 registers; md5-derived bucket/rank so the whole sketch is
 # bit-reproducible in SQL (md5_number_upper + a generated CASE chain for
@@ -451,7 +515,7 @@ HLL_REG_CAP = 47
 HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
 
 
-def hll_partial_registers(tokens: list[str]) -> np.ndarray:
+def hll_partial_registers(tokens) -> np.ndarray:
     """uint8[HLL_M] register array for a token batch (max of ranks per
     bucket). Tokens are md5-hashed once per distinct string."""
     from ..functions.hashing import md5_u64_array
@@ -487,10 +551,8 @@ def approx_distinct_tokens(sf_dir: str):
     import pandas as pd
 
     def partial(t: pa.Table) -> pa.Table:
-        toks: list[str] = []
-        for x in t["text"].to_pylist():
-            toks.extend((x or "").split(" "))
-        regs = hll_partial_registers(toks)
+        uniq, _ = _batch_tokens(t)
+        regs = hll_partial_registers(uniq.tolist())
         nz = np.flatnonzero(regs)
         return pa.table(
             {
@@ -545,19 +607,20 @@ def heavy_hitters_cms(sf_dir: str, k: int = 20):
     Two constant-state stages: (1) per-batch partial CMS counters
     (occurrence counts, np.add.at), one <= d*w-row exchange summing
     them, driver fold to the d x w array, broadcast via ray.put;
-    (2) distinct tokens -> vectorized min-over-rows estimate ->
-    per-partition top-k pre-reduction -> tiny driver merge. Ties at the
-    cut break by token asc, so the top-k set is deterministic; CMS
-    overestimates (hash collisions) are part of the contract and are
-    reproduced by the oracle."""
+    (2) ONE more scan: per-batch distinct tokens -> vectorized
+    min-over-rows estimate -> per-batch top-k -> tiny driver merge
+    (batches x k rows, drop_duplicates). No token shuffle is needed:
+    a token's estimate is the same global value everywhere it appears,
+    and the batch-local comparator (est desc, token asc) equals the
+    global one, so any global top-k token makes the local top-k of
+    every batch containing it. Ties at the cut break by token asc, so
+    the top-k set is deterministic; CMS overestimates (hash collisions)
+    are part of the contract and are reproduced by the oracle."""
     import pandas as pd
     import ray
 
     def partial_counters(t: pa.Table) -> pa.Table:
-        toks: list[str] = []
-        for x in t["text"].to_pylist():
-            toks.extend((x or "").split(" "))
-        uniq, cnt = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+        uniq, cnt = _batch_tokens(t)
         rows_, poss, cnts = [], [], []
         ul = uniq.tolist()
         for row in range(CMS_D):
@@ -590,40 +653,33 @@ def heavy_hitters_cms(sf_dir: str, k: int = 20):
     ] = counters["sum(cnt)"].to_numpy(dtype=np.int64)
     ref = ray.put(cms)
 
-    def topk_partition(t: pa.Table) -> pa.Table:
+    def topk_batch(t: pa.Table) -> pa.Table:
         from ..stages.mention_prep import get_broadcast
 
         sketch = get_broadcast(ref)
-        toks = t["token"].to_pylist()
-        est = np.full(len(toks), np.iinfo(np.int64).max, dtype=np.int64)
+        uniq, _ = _batch_tokens(t)
+        ul = uniq.tolist()
+        est = np.full(len(ul), np.iinfo(np.int64).max, dtype=np.int64)
         for row in range(CMS_D):
-            est = np.minimum(est, sketch[row, cms_positions(toks, row)])
-        order = np.lexsort((np.asarray(toks, dtype=object), -est))[:k]
+            est = np.minimum(est, sketch[row, cms_positions(ul, row)])
+        order = np.lexsort((uniq, -est))[:k]
         return pa.table(
             {
-                "token": pa.array([toks[i] for i in order], pa.string()),
+                "token": pa.array([ul[i] for i in order], pa.string()),
                 "est_count": pa.array(est[order], pa.int64()),
             }
         )
 
-    def explode_tokens(t: pa.Table) -> pa.Table:
-        toks: list[str] = []
-        for x in t["text"].to_pylist():
-            toks.extend((x or "").split(" "))
-        return pa.table(
-            {"token": pa.array(list(dict.fromkeys(toks)), pa.string())}
+    candidates = docs.map_batches(
+        topk_batch, batch_format="pyarrow"
+    ).to_pandas()
+    top = (
+        candidates.drop_duplicates("token")
+        .sort_values(
+            ["est_count", "token"], ascending=[False, True], kind="mergesort"
         )
-
-    candidates = (
-        docs.map_batches(explode_tokens, batch_format="pyarrow")
-        .groupby("token", num_partitions=shuffle_partitions())
-        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
-        .map_batches(topk_partition, batch_format="pyarrow")
-        .to_pandas()
+        .head(k)
     )
-    top = candidates.sort_values(
-        ["est_count", "token"], ascending=[False, True], kind="mergesort"
-    ).head(k)
     return pd.DataFrame(
         {"token": top["token"].to_numpy(), "est_count": top["est_count"].to_numpy()}
     )

@@ -152,6 +152,21 @@ class TestSimhash:
         reassembled = sum(b << (16 * i) for i, b in enumerate(bands))
         assert reassembled == h
 
+    def test_segmented_matches_scalar(self):
+        from pubmed_and_method_ray.functions.simhash import (
+            simhash_from_hashes,
+            simhash_from_hashes_segmented,
+        )
+
+        rng = np.random.default_rng(7)
+        lens = rng.integers(0, 9, size=20)
+        offs = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
+        flat = rng.integers(0, 2**63, size=int(offs[-1])).astype(np.uint64)
+        got = simhash_from_hashes_segmented(flat, offs)
+        for i in range(20):
+            assert got[i] == simhash_from_hashes(flat[offs[i] : offs[i + 1]])
+        assert len(simhash_from_hashes_segmented(flat[:0], offs[:1])) == 0
+
     def test_hamming_vectorized_matches_scalar(self):
         a = np.array([simhash64(["a", "b"]), simhash64(["c"])], dtype=np.uint64)
         b = np.array([simhash64(["a", "x"]), simhash64(["c"])], dtype=np.uint64)
