@@ -183,17 +183,39 @@ def run_scaling() -> dict:
     def leg(lo: int, hi: int, rounds: int | None = None) -> dict:
         rounds = rounds or int(os.environ.get("GRAFT_SCALING_TRIALS", "4"))
         best: dict[int, dict] = {}
-        burn_best: dict[int, float] = {lo: 0.0, hi: 0.0}
+        trials: dict[int, list[float]] = {lo: [], hi: []}
+        burns: dict[int, list[float]] = {lo: [], hi: []}
         for _ in range(rounds):
             for ncpu in (lo, hi):
                 r = run_at(ncpu)
+                trials[ncpu].append(r["value"])
                 if ncpu not in best or r["value"] < best[ncpu]["value"]:
                     best[ncpu] = r
-                burn_best[ncpu] = max(burn_best[ncpu], _burn.run_side(ncpu))
+                burns[ncpu].append(_burn.run_side(ncpu))
         r_lo, r_hi = best[lo], best[hi]
         t_lo, t_hi = r_lo["value"], r_hi["value"]
         eff = round((t_lo / t_hi) / (hi / lo), 3)
-        ceil = round((burn_best[hi] / burn_best[lo]) / (hi / lo), 3)
+        ceil = round((max(burns[hi]) / max(burns[lo])) / (hi / lo), 3)
+        # Paired-per-round readout: when the box's throughput drifts more
+        # than the lo/hi gap itself, min-per-side can pick the two sides
+        # from DIFFERENT machine states (a fast window for one side only),
+        # corrupting the ratio in either direction. Each round's lo and hi
+        # run back-to-back, so the per-round ratio (with the same round's
+        # burn-ceiling pair) compares like with like; report every round
+        # and the best round alongside the min-per-side aggregate.
+        paired = []
+        for i in range(rounds):
+            p_eff = (trials[lo][i] / trials[hi][i]) / (hi / lo)
+            p_ceil = (burns[hi][i] / burns[lo][i]) / (hi / lo)
+            paired.append(
+                {
+                    "round": i,
+                    "efficiency": round(p_eff, 3),
+                    "hw_ceiling": round(p_ceil, 3),
+                    "engine_vs_ceiling": round(p_eff / p_ceil, 3),
+                }
+            )
+        best_paired = max(paired, key=lambda p: p["efficiency"])
         return {
             "cpus_lo": lo,
             "cpus_hi": hi,
@@ -205,10 +227,20 @@ def run_scaling() -> dict:
             "hw_ceiling": ceil,
             "engine_vs_ceiling": round(eff / ceil, 3),
             "pages": r_hi["pages"],
+            "trials_lo": [round(x, 3) for x in trials[lo]],
+            "trials_hi": [round(x, 3) for x in trials[hi]],
+            "burns_lo": [round(x, 3) for x in burns[lo]],
+            "burns_hi": [round(x, 3) for x in burns[hi]],
+            "paired_rounds": paired,
+            "best_paired": best_paired,
         }
 
-    main_leg = leg(4, 16)
-    wide_leg = leg(8, 32)
+    # GRAFT_SCALING_LEGS="8:32" (or "4:16,8:32") re-runs a subset
+    legs_spec = os.environ.get("GRAFT_SCALING_LEGS", "4:16,8:32")
+    want = [tuple(int(c) for c in s.split(":")) for s in legs_spec.split(",")]
+    results = {pair: leg(*pair) for pair in want}
+    main_leg = results.get((4, 16)) or next(iter(results.values()))
+    wide_leg = results.get((8, 32)) or next(iter(results.values()))
 
     return {
         "metric": "scaling_efficiency",
