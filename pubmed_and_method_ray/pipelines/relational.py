@@ -22,6 +22,18 @@ def _read(sf_dir: str, table: str, columns=None):
     return read_parquet_clean(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
+def _from_pandas(g) -> pa.Table:
+    """``pa.Table.from_pandas`` without the ``b'pandas'`` schema metadata
+    it attaches: a schema carrying ANY metadata dict is unhashable, and
+    blocks born dirty make every downstream hash-shuffle/join aggregator
+    log ``Failed to hash the schemas`` and take the slow unify path
+    (same contract as sources/io.read_parquet_clean, but for blocks
+    created INSIDE map stages)."""
+    return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(
+        None
+    )
+
+
 def _to_fixed(x: np.ndarray, scale: float) -> np.ndarray:
     """Fixed-point encode a double column: floor(x*scale + 0.5) -> int64.
 
@@ -62,7 +74,7 @@ def pricing_summary(sf_dir: str):
             sum_disc_c=("disc_c", "sum"),
             n_rows=("qty_c", "size"),
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _from_pandas(g)
 
     from ray.data.aggregate import Sum
 
@@ -120,7 +132,7 @@ def _line_rev_partial(t: pa.Table) -> pa.Table:
         .groupby("o_orderkey", as_index=False)["rev_c"]
         .sum()
     )
-    return pa.Table.from_pandas(g, preserve_index=False)
+    return _from_pandas(g)
 
 
 def _rev_c_to_revenue(t: pa.Table) -> pa.Table:
@@ -169,7 +181,7 @@ def _revenue_by_nation_join(sf_dir: str, cust_ds, nat_map: dict):
             .groupby("c_custkey", as_index=False)["rev_c"]
             .sum()
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _from_pandas(g)
 
     per_cust = per_order.map_batches(cust_partial, batch_format="pyarrow").join(
         cust_ds,
@@ -196,7 +208,7 @@ def _revenue_by_nation_join(sf_dir: str, cust_ds, nat_map: dict):
             .groupby("n_name", as_index=False)["rev_c"]
             .sum()
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _from_pandas(g)
 
     agg = (
         per_cust.map_batches(attach, batch_format="pyarrow")
@@ -250,7 +262,7 @@ def revenue_by_nation(sf_dir: str, broadcast_max_rows: int = 5_000_000):
             .groupby("n_name", as_index=False)["rev_c"]
             .sum()
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _from_pandas(g)
 
     from ray.data.aggregate import Sum
 
@@ -327,7 +339,7 @@ def events_hour_window(sf_dir: str):
         g = df.groupby(["user_id", "hour_bucket"], as_index=False).agg(
             n_events=("value_c", "size"), value_c=("value_c", "sum")
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _from_pandas(g)
 
     from ray.data.aggregate import Sum
 
@@ -382,7 +394,7 @@ def events_hopping_window(sf_dir: str, size_us: int = 3_600_000_000, hop_us: int
         g = df.groupby(["user_id", "window_start"], as_index=False).agg(
             n_events=("value_c", "size"), value_c=("value_c", "sum")
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _from_pandas(g)
 
     from ray.data.aggregate import Sum
 
@@ -615,7 +627,7 @@ def user_activity(sf_dir: str):
             max_ts=("ts", "max"),
             value_c=("value_c", "sum"),
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _from_pandas(g)
 
     per_type = (
         _read(sf_dir, "events", ["user_id", "event_type", "ts", "value"])
@@ -803,7 +815,7 @@ def top_docs_per_block(sf_dir: str, k: int = 3):
         )
         df["rank"] = df.groupby(["lang", "source"], sort=False).cumcount() + 1
         df = df[df["rank"] <= k]
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return _from_pandas(df)
 
     return (
         _read(sf_dir, "documents", ["doc_id", "lang", "source", "n_chars"])
@@ -885,7 +897,7 @@ def event_value_median(sf_dir: str):
         )
         g = df.groupby(["event_type", "value_c"], as_index=False).size()
         g = g.rename(columns={"size": "n"})
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _from_pandas(g)
 
     hist = (
         _read(sf_dir, "events", ["event_type", "value"])
