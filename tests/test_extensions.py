@@ -304,6 +304,30 @@ class TestSchemaCleanReads:
         b = ds.take_batch(3, batch_format="pyarrow")
         assert b.column_names == ["r_name"] and b.schema.metadata is None
 
+    def test_no_raw_from_pandas_in_package(self):
+        """Blocks born INSIDE map stages must also be metadata-free:
+        pa.Table.from_pandas attaches b'pandas' schema metadata, which
+        re-dirties partial-aggregate outputs and makes downstream
+        join/shuffle aggregators log 'Failed to hash the schemas'.
+        Stages must use relational._from_pandas (or strip explicitly)."""
+        import pathlib
+
+        offenders = []
+        for p in pathlib.Path("pubmed_and_method_ray").rglob("*.py"):
+            for i, line in enumerate(p.read_text().splitlines(), 1):
+                if "pa.Table.from_pandas(" in line and "replace_schema_metadata" not in line:
+                    offenders.append(f"{p}:{i}")
+        assert not offenders, f"raw from_pandas calls: {offenders}"
+
+    def test_from_pandas_helper_is_clean(self):
+        import pandas as pd
+
+        from pubmed_and_method_ray.pipelines.relational import _from_pandas
+
+        t = _from_pandas(pd.DataFrame({"a": [1, 2]}))
+        assert t.schema.metadata is None
+        hash(t.schema)
+
 
 class TestAnnIndexedAtRest:
     def test_indexed_read_touches_only_probed_partitions(self, ray_session):
