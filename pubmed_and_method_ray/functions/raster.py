@@ -681,3 +681,84 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     g = yp - 0.344136 * cb - 0.714136 * cr
     b = yp + 1.772 * cb
     return np.clip(np.stack([r, g, b], axis=2), 0, 255).astype(np.uint8)
+
+
+# -- MJPEG-in-AVI container (RIFF, Microsoft AVI 1.0) -------------------------
+# The video analog stays dependency-free: frames are baseline JPEGs in
+# '00dc' chunks inside the standard RIFF/LIST structure, so the sampler
+# below reads real AVI files written by MJPEG encoders and the encoder
+# exists to generate real-format streams for tests/fixtures (same
+# pattern as encode_jpeg).
+
+
+def encode_mjpeg_avi(frames: list, fps: int = 10) -> bytes:
+    """List of (h, w, 3) uint8 RGB frames -> minimal but structurally
+    valid RIFF AVI (avih + vids/MJPG strh/strf headers, LIST movi with
+    one '00dc' JPEG chunk per frame, idx1)."""
+    import struct
+
+    if not frames:
+        raise ValueError("no frames")
+    jpegs = [encode_jpeg(f) for f in frames]
+    h, w = np.asarray(frames[0]).shape[:2]
+
+    def chunk(fourcc: bytes, data: bytes) -> bytes:
+        return fourcc + len(data).to_bytes(4, "little") + data + (
+            b"\x00" if len(data) % 2 else b""
+        )
+
+    def lst(kind: bytes, payload: bytes) -> bytes:
+        return chunk(b"LIST", kind + payload)
+
+    max_sz = max(len(j) for j in jpegs)
+    avih = struct.pack(
+        "<14I", 1_000_000 // fps, max_sz * fps, 0, 0x10, len(jpegs), 0, 1,
+        max_sz, w, h, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sI2H8I4h", b"vids", b"MJPG", 0, 0, 0, 0, 1, fps, 0,
+        len(jpegs), max_sz, 0xFFFFFFFF & (2**32 - 1), 0, 0, 0, int(w), int(h),
+    )
+    strf = struct.pack(
+        "<I2i2H2I2i2I", 40, int(w), int(h), 1, 24, 0x47504A4D,  # 'MJPG'
+        w * h * 3, 0, 0, 0, 0,
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi_payload = b"".join(chunk(b"00dc", j) for j in jpegs)
+    movi = lst(b"movi", movi_payload)
+    # idx1: (fourcc, flags, offset-from-movi-kind, size) per frame
+    idx_entries, off = [], 4
+    for j in jpegs:
+        idx_entries.append(struct.pack("<4s3I", b"00dc", 0x10, off, len(j)))
+        off += 8 + len(j) + (len(j) % 2)
+    idx1 = chunk(b"idx1", b"".join(idx_entries))
+    body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def mjpeg_avi_frames(payload: bytes) -> list:
+    """RIFF AVI bytes -> [(byte_offset, jpeg_bytes)] for every video
+    frame ('..dc') chunk, in stream order. Walks the LIST tree; offsets
+    are absolute into ``payload`` (the chunk body start)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload")
+    frames: list = []
+
+    def walk(pos: int, end: int) -> None:
+        while pos + 8 <= end:
+            fourcc = payload[pos : pos + 4]
+            size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+            body = pos + 8
+            if body + size > len(payload):
+                raise ValueError("truncated AVI chunk")
+            if fourcc == b"LIST":
+                walk(body + 4, body + size)
+            elif fourcc[2:4] == b"dc":
+                frames.append((body, bytes(payload[body : body + size])))
+            pos = body + size + (size & 1)
+
+    walk(12, len(payload))
+    return frames

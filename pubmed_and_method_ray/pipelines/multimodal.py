@@ -67,11 +67,10 @@ def _fake_decode(payload: bytes) -> tuple[int, int, np.ndarray]:
 class DecodePayload:
     """Actor-pool decode stage. ``mode='real'`` decodes actual rasters
     with the dependency-free numpy codec (24-bit BMP, P6 PPM, 8-bit
-    PNG, baseline JPEG — functions/raster.py); video frames remain the
-    declared stub boundary (NotImplementedError: needs ffmpeg).
-    ``mode='fake'`` runs the deterministic content-hash fake so the
-    oracle-checked plumbing is independent of payload format. Keep
-    batch_size small — payload rows are wide."""
+    PNG, baseline JPEG — functions/raster.py; MJPEG-in-AVI video frames
+    via SampleFrames). ``mode='fake'`` runs the deterministic
+    content-hash fake so the oracle-checked plumbing is independent of
+    payload format. Keep batch_size small — payload rows are wide."""
 
     def __init__(self, mode: str = "fake"):
         if mode not in ("real", "fake"):
@@ -178,8 +177,13 @@ class ResizePayload:
 class SampleFrames:
     """Actor-pool frame-sampling stage (video analog): emits ``n_frames``
     evenly spaced frame records per payload (flat_map shape — one input
-    row becomes several output rows), deterministic offsets from content
-    length."""
+    row becomes several output rows). ``mode='real'`` parses MJPEG-in-AVI
+    payloads with the dependency-free RIFF walker + baseline JPEG decoder
+    (functions/raster.py) — byte_offset is the real '00dc' chunk offset
+    and frame_checksum hashes the DECODED pixels; compressed codecs
+    (H.264 etc.) would need ffmpeg and raise from decode_jpeg.
+    ``mode='fake'`` keeps the deterministic content-hash fake whose
+    oracle checks the plumbing independent of payload format."""
 
     def __init__(self, n_frames: int = 4, mode: str = "fake"):
         if mode not in ("real", "fake"):
@@ -188,7 +192,30 @@ class SampleFrames:
 
     def __call__(self, t: pa.Table) -> pa.Table:
         if self.mode == "real":
-            raise NotImplementedError("real frame sampling requires ffmpeg")
+            from ..functions.raster import decode_jpeg, mjpeg_avi_frames
+
+            doc_ids, frame_idx, offsets, checks = [], [], [], []
+            for doc_id, payload in zip(
+                t["doc_id"].to_pylist(), t["payload"].to_pylist()
+            ):
+                frames = mjpeg_avi_frames(payload or b"")
+                if not frames:
+                    continue
+                for i in range(self.n_frames):
+                    off, jb = frames[(i * len(frames)) // self.n_frames]
+                    px = decode_jpeg(jb)
+                    doc_ids.append(doc_id)
+                    frame_idx.append(i)
+                    offsets.append(off)
+                    checks.append(hashlib.md5(px.tobytes()).hexdigest()[:8])
+            return pa.Table.from_pydict(
+                {
+                    "doc_id": pa.array(doc_ids, pa.int64()),
+                    "frame_idx": pa.array(frame_idx, pa.int32()),
+                    "byte_offset": pa.array(offsets, pa.int64()),
+                    "frame_checksum": pa.array(checks, pa.string()),
+                }
+            )
         doc_ids, frame_idx, offsets, checks = [], [], [], []
         for doc_id, payload in zip(t["doc_id"].to_pylist(), t["payload"].to_pylist()):
             # char-based frame windows over the decoded payload so the

@@ -327,15 +327,57 @@ class TestDecodeActors:
         assert abs(o["f0"][0].as_py() - px0[:, :, 0].mean() / 255.0) < 0.02
 
     def test_real_mode_stub_boundary(self):
-        """Non-raster payloads in real mode stay a declared stub."""
+        """Unsupported payload formats in real mode raise loudly."""
         with pytest.raises(NotImplementedError):
             DecodePayload(mode="real")(_payload_batch())
         with pytest.raises(NotImplementedError):
             ResizePayload(mode="real")(_payload_batch())
-        with pytest.raises(NotImplementedError):
+        with pytest.raises(ValueError):  # text bytes are not RIFF AVI
             SampleFrames(mode="real")(_payload_batch())
         with pytest.raises(ValueError):
             DecodePayload(mode="bogus")
+
+    def test_real_mode_samples_mjpeg_avi_frames(self):
+        """mode='real' parses actual RIFF AVI containers and hashes the
+        DECODED pixels of evenly spaced MJPEG frames; byte_offset is the
+        real '00dc' chunk offset into the payload."""
+        import hashlib
+
+        import numpy as np
+
+        from pubmed_and_method_ray.functions.raster import (
+            decode_jpeg,
+            encode_mjpeg_avi,
+            mjpeg_avi_frames,
+        )
+
+        frames = [_gradient_rgb(16, 12) for _ in range(6)]
+        for i, f in enumerate(frames):  # make frames distinct
+            frames[i] = np.roll(f, i * 3, axis=1)
+        avi = encode_mjpeg_avi(frames, fps=5)
+        parsed = mjpeg_avi_frames(avi)
+        assert len(parsed) == 6
+        b = pa.Table.from_pydict(
+            {
+                "doc_id": [7],
+                "payload": [avi],
+                "media_type": ["video/x-msvideo"],
+                "payload_bytes": [len(avi)],
+            }
+        )
+        o = SampleFrames(n_frames=4, mode="real")(b)
+        assert o.num_rows == 4
+        assert o["frame_idx"].to_pylist() == [0, 1, 2, 3]
+        # evenly spaced: frame (i*6)//4 -> 0, 1, 3, 4
+        want_offsets = [parsed[(i * 6) // 4][0] for i in range(4)]
+        assert o["byte_offset"].to_pylist() == want_offsets
+        px0 = decode_jpeg(parsed[0][1])
+        assert o["frame_checksum"][0].as_py() == hashlib.md5(
+            px0.tobytes()
+        ).hexdigest()[:8]
+        # decoded pixels match the source frames within JPEG loss
+        err = np.abs(px0.astype(float) - frames[0].astype(float)).mean()
+        assert err < 12
 
     def test_fake_decode_deterministic(self):
         b = _payload_batch()
