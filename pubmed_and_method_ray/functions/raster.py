@@ -641,7 +641,15 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     seg_idx = 0
     for m in range(n_mcu):
         if restart and m and m % restart == 0:
-            # resync: next RST boundary, reset predictors
+            # resync: next RST boundary, reset predictors. A file can
+            # declare DRI yet emit fewer RST markers than restart
+            # intervals — fail with the decoder's ValueError contract
+            # instead of an IndexError out of the actor.
+            if seg_idx >= len(rst_breaks):
+                raise ValueError(
+                    "corrupt JPEG: DRI declared but entropy stream has "
+                    f"only {len(rst_breaks)} RST markers"
+                )
             br = _BitReader(bytes(data[rst_breaks[seg_idx]:]))
             seg_idx += 1
             preds = [0] * n_comp
@@ -661,6 +669,12 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                         continue
                     break
                 k += r
+                if k > 63:
+                    # a crafted AC run can push the coefficient index
+                    # past the 8x8 block — ValueError, not IndexError
+                    raise ValueError(
+                        "corrupt JPEG: AC coefficient index > 63"
+                    )
                 row[_ZZ[k]] = br.receive_extend(s)
                 k += 1
 

@@ -21,7 +21,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from ..rayutil import shuffle_partitions
+from ..rayutil import join_partitions, shuffle_partitions
 
 
 def _union_find_clusters(edge_iter):
@@ -158,10 +158,10 @@ def connected_components_distributed(
         return pa.concat_tables([fwd, rev])
 
     nbrs = edges_ds.map_batches(both_dirs, batch_format="pyarrow").materialize()
-    import ray
-
-    cpus = int(ray.cluster_resources().get("CPU", 8))
-    num_partitions = max(2, min(64, cpus // 2))  # join aggregators are actors
+    # join aggregators are actors; the count scales with the cluster and
+    # is never capped at a constant (a hard 64 here would hold ~1/64 of
+    # all edge messages per partition at 100 TB)
+    num_partitions = join_partitions()
 
     # convergence signal: label rows carry old = current label, message
     # rows carry old = NULL; Min(old, ignore_nulls) recovers the
@@ -233,10 +233,6 @@ def assign_clusters(
 ):
     """mentions + match edges -> Dataset (url, cluster_id); nodes without
     any match edge become singleton clusters (cluster_id = own url)."""
-    import ray
-
-    import numpy as _np
-
     collected: list | None = None
     if method == "auto":
         # single streaming pass: collect edge batches up to the driver
@@ -294,14 +290,16 @@ def assign_clusters(
             assign, batch_format="pyarrow"
         )
 
-    # distributed path: CC labels for edge-nodes, then left-fill singletons
+    # distributed path: CC labels for edge-nodes, then left-fill singletons.
+    # This left-outer join touches the FULL mention set, so its partition
+    # count must grow with the cluster (join_partitions), never cap at a
+    # constant — the last hard 64-cap in the engine was here.
     labels = connected_components_distributed(edges_ds)
-    cpus = int(ray.cluster_resources().get("CPU", 8))
     joined = mentions_ds.select_columns(["url"]).join(
         labels,
         join_type="left_outer",
         on=("url",),
-        num_partitions=max(2, min(64, cpus // 2)),
+        num_partitions=join_partitions(),
     )
 
     def fill(t: pa.Table) -> pa.Table:

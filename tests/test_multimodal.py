@@ -250,6 +250,43 @@ class TestRasterCodec:
         with pytest.raises(ValueError):
             decode_jpeg(b"\x00\x01not a jpeg")
 
+    def test_jpeg_corrupt_streams_raise_valueerror(self):
+        """Malformed entropy streams must fail with the decoder's
+        declared ValueError, never an IndexError out of the actor:
+        (a) DRI declared but the stream carries no RST markers;
+        (b) a crafted AC run pushing the coefficient index past 63."""
+        import struct
+
+        import numpy as np
+
+        from pubmed_and_method_ray.functions import raster as R
+
+        base = R.encode_jpeg(np.zeros((8, 16, 3), dtype=np.uint8))
+        i = base.find(b"\xff\xda")
+        dri = struct.pack(">BBH", 0xFF, 0xDD, 4) + struct.pack(">H", 1)
+        with pytest.raises(ValueError, match="RST"):
+            R.decode_jpeg(base[:i] + dri + base[i:])
+
+        # valid headers from a 1-MCU image, scan replaced with: DC(0),
+        # ZRL x3 (k=49), then (run=15, size=1) -> k = 64 out of range
+        base1 = R.encode_jpeg(np.zeros((8, 8, 3), dtype=np.uint8))
+        j = base1.find(b"\xff\xda")
+        (sos_len,) = struct.unpack_from(">H", base1, j + 2)
+        head = base1[: j + 2 + sos_len]
+        bw = R._BitWriter()
+        dc = R._huff_encode_map(R._DC_L_BITS, R._DC_L_VALS)
+        ac = R._huff_encode_map(R._AC_L_BITS, R._AC_L_VALS)
+        code, ln = dc[0]
+        bw.write(code, ln)
+        for _ in range(3):
+            code, ln = ac[0xF0]
+            bw.write(code, ln)
+        code, ln = ac[0xF1]
+        bw.write(code, ln)
+        bw.write(1, 1)
+        with pytest.raises(ValueError, match="> 63"):
+            R.decode_jpeg(head + bw.flush() + b"\xff\xd9")
+
     def test_png_unsupported_shapes_rejected(self):
         import struct
         import zlib
@@ -406,9 +443,13 @@ class TestPipelines:
     def test_decode_features_ds(self):
         df = decode_features(SF).to_pandas()
         assert len(df) == 500
-        assert set(df.columns) == {"doc_id", "width", "height"} | {
-            f"f{j}" for j in range(8)
-        }
+        assert set(df.columns) == {
+            "doc_id",
+            "width",
+            "height",
+            "payload_bytes",
+            "payload_md5",
+        } | {f"f{j}" for j in range(8)}
 
     def test_resize_and_frames_ds(self):
         r = resize_features(SF).to_pandas()

@@ -207,6 +207,47 @@ class TestConnectedComponents:
         got = dict(zip(out["url"], out["cluster_id"]))
         assert got == {"é": "é", "ê": "é", "ë": "é", "ü1": "ü1", "ü2": "ü1"}
 
+    def test_distributed_green_at_forced_high_partitions(self, monkeypatch):
+        """The distributed path's joins (label-prop messages AND the
+        full-mention singleton left-fill) must stay correct when the
+        partition count is forced far above CPUs and data — the two
+        sites that carried a hard 64-cap until round 5 (mirrors
+        test_pairs.test_pairs_green_at_forced_high_partitions)."""
+        import ray
+        import pyarrow as pa
+
+        import pubmed_and_method_ray.stages.cluster as cluster
+
+        # forced counts must respect the 4-CPU test session: join AND
+        # groupby aggregators each reserve 0.25 logical CPU per
+        # partition for the exchange lifetime, and a label-prop round
+        # holds one of each concurrently (5+6 -> 2.75 CPUs reserved,
+        # leaving 1.25 for tasks; 37/41 deadlocks outright)
+        monkeypatch.setattr(cluster, "join_partitions", lambda *a, **k: 5)
+        monkeypatch.setattr(cluster, "shuffle_partitions", lambda *a, **k: 6)
+
+        # 3 chain components of 4 urls + 100 singleton mentions
+        u = [f"u{i:03d}" for i in range(12)]
+        edges = ray.data.from_arrow(
+            pa.table(
+                {
+                    "url_1": [u[0], u[1], u[2], u[4], u[5], u[6], u[8], u[9], u[10]],
+                    "url_2": [u[1], u[2], u[3], u[5], u[6], u[7], u[9], u[10], u[11]],
+                }
+            )
+        )
+        singles = [f"s{i:03d}" for i in range(100)]
+        mentions = ray.data.from_arrow(
+            pa.table({"url": u + singles, "x": list(range(112))})
+        )
+        out = cluster.assign_clusters(
+            mentions, edges, method="distributed"
+        ).to_pandas()
+        got = dict(zip(out["url"], out["cluster_id"]))
+        want = {x: u[(i // 4) * 4] for i, x in enumerate(u)}
+        want.update({s: s for s in singles})
+        assert got == want
+
     def test_distributed_int_node_ids(self):
         """Generic edge/node columns: int64 doc ids instead of url strings."""
         import ray
