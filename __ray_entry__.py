@@ -98,21 +98,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         text_analysis,
     )
 
-    # NOTE on ordering: the driver's CORRECTNESS snapshot records exactly
-    # the first 50 entries in insertion order. All 57 queries below are
-    # pytest-oracle-verified (tests/test_queries.py, tools/check_oracles.py);
-    # the 7 entries PAST the cutoff are each a strict alias or near-duplicate
-    # of a driver-certified sibling, chosen so every SURVEY.md §2 row and
-    # every extension family keeps at least one driver-certified row:
-    #   dedup_ngram_jaccard  == pair_jaccard_docs filtered at 0.6 (alias)
-    #   token_count          ⊂ token_count_bpe (whitespace vs BPE-ish superset)
-    #   doc_fingerprint      ~ doc_rolling_fingerprint (md5 vs winnowing)
-    #   payload_meta         ⊂ multimodal_decode (same md5/byte plumbing)
-    #   embedding_norms      ⊂ ann_topk / dedup_embedding_cosine (same norms)
-    #   ann_topk_lsh         == ann_topk_lsh_indexed rows (same planes/probe;
-    #                           indexed reads only probed partitions at rest)
-    #   ann_topk_ivf         == ann_topk_ivf_indexed rows (same centroids/
-    #                           probe; indexed reads only probed partitions)
+    # Exactly the 50 driver-snapshot slots — nothing past the cutoff.
+    # Every near-duplicate operator variant that previously sat past the
+    # 50-entry snapshot is now CERTIFIED INSIDE a sibling query instead
+    # of holding its own slot (its kernel rides as extra columns, so the
+    # driver's value-hash covers it):
+    #   token_count       -> token_count_bpe.n_tokens_ws
+    #   doc_fingerprint   -> doc_rolling_fingerprint.fp
+    #   payload_meta      -> multimodal_decode.{payload_bytes,payload_md5}
+    #   embedding_norms   -> ann_topk.l2_norm
+    # and the literal aliases lost their slots outright (functions remain,
+    # pytest-tested): dedup_ngram_jaccard == pair_jaccard_docs filtered;
+    # ann_topk_lsh/ann_topk_ivf produce the same rows as their _indexed
+    # twins (asserted in tests/test_extensions.py).
+    # tests/test_certified.py pins CERTIFIED_QUERIES to this dict's order,
+    # so any reordering is a visible diff.
     return {
         # -- flagship ER (model-driven; rows-only checks) ------------------
         "er_clusters": _er_clusters,
@@ -172,15 +172,65 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_prev_click": relational.events_asof_prev_click,
         "events_range_pairs_1h": relational.events_range_pairs_1h,
         "bloom_semi_join": relational.bloom_semi_join,
-        # ---- past the 50-entry driver snapshot: aliases / near-dups ------
-        "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
-        "token_count": text_analysis.token_count,
-        "doc_fingerprint": text_analysis.doc_fingerprint,
-        "payload_meta": multimodal.payload_meta,
-        "embedding_norms": similarity.embedding_norms,
-        "ann_topk_lsh": similarity.ann_topk_lsh,
-        "ann_topk_ivf": similarity.ann_topk_ivf,
     }
+
+
+# The driver-certified query list, pinned: the CORRECTNESS snapshot
+# records the first 50 queries() entries in insertion order, so this
+# constant (asserted against queries() in tests/test_certified.py) makes
+# any accidental reordering or displacement a visible, reviewable diff.
+CERTIFIED_QUERIES = (
+    "er_clusters",
+    "er_match_edges",
+    "crawl_corpus",
+    "external_id_baseline",
+    "dedup_exact",
+    "pair_jaccard_docs",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_canonical_docs",
+    "dedup_embedding_cosine",
+    "ann_topk",
+    "ann_topk_lsh_indexed",
+    "ann_topk_ivf_indexed",
+    "token_count_bpe",
+    "quality_score",
+    "lang_id",
+    "doc_rolling_fingerprint",
+    "redact_pii",
+    "approx_distinct_tokens",
+    "heavy_hitters_cms",
+    "clean_text_docs",
+    "tag_entities",
+    "doc_keywords",
+    "multimodal_decode",
+    "multimodal_resize",
+    "multimodal_frames",
+    "pricing_summary",
+    "revenue_by_nation",
+    "top_parts",
+    "filter_project_lineitem",
+    "events_hour_window",
+    "events_hopping_window",
+    "block_census_docs",
+    "doc_commonness",
+    "pair_gen_docs",
+    "union_distinct_keys",
+    "semi_join_orders",
+    "join_order_priority_revenue",
+    "top_docs_per_block",
+    "events_lag_delta",
+    "event_value_median",
+    "title_repair",
+    "registry_enrich",
+    "user_activity",
+    "events_sessions",
+    "deterministic_sample",
+    "rank_docs",
+    "events_asof_prev_click",
+    "events_range_pairs_1h",
+    "bloom_semi_join",
+)
 
 
 def _crawl_corpus(sf_dir: str):
@@ -454,15 +504,6 @@ def oracle_sql() -> dict[str, str]:
             "FROM toks a JOIN toks b ON a.lang = b.lang AND a.source = b.source "
             "AND a.doc_id < b.doc_id"
         ),
-        "dedup_ngram_jaccard": (
-            f"{toks_cte} "
-            "SELECT * FROM ("
-            "SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2, "
-            "a.lang AS lang, a.source AS source, "
-            f"{jac} AS jaccard "
-            "FROM toks a JOIN toks b ON a.lang = b.lang AND a.source = b.source "
-            "AND a.doc_id < b.doc_id) WHERE jaccard >= 0.6"
-        ),
         "dedup_embedding_cosine": (
             f"{emb_cte} "
             "SELECT vec_id1, vec_id2, ROUND(raw, 9) AS cos_sim FROM ("
@@ -508,18 +549,20 @@ def oracle_sql() -> dict[str, str]:
             "string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS doc_ids "
             "FROM sh GROUP BY simhash"
         ),
+        # l2_norm = the embedding_norms kernel, certified on each hit
         "ann_topk": (
             f"{emb_cte} "
             "SELECT b.vec_id AS vec_id, "
-            f"ROUND({cos}, 9) AS cos_sim "
+            f"ROUND({cos}, 9) AS cos_sim, "
+            "ROUND(sqrt(list_inner_product(b.v, b.v)), 9) AS l2_norm "
             "FROM e a JOIN e b ON a.vec_id = 0 AND b.vec_id <> 0 "
             "ORDER BY cos_sim DESC LIMIT 10"
         ),
-        "ann_topk_lsh": _ann_lsh_oracle(),
-        # identical result set: the index changes the PHYSICAL read
-        # (probed lsh_bucket= partitions only), not the semantics
+        # identical result set to the full-scan LSH variant: the index
+        # changes the PHYSICAL read (probed lsh_bucket= partitions only),
+        # not the semantics
         "ann_topk_lsh_indexed": _ann_lsh_oracle(),
-        "ann_topk_ivf": (
+        "ann_topk_ivf_indexed": (
             f"{emb_cte}, "
             "fx AS (SELECT vec_id, "
             "CAST(md5_number_upper(CAST(vec_id AS VARCHAR)) % 16 AS BIGINT) AS bkt, "
@@ -547,14 +590,7 @@ def oracle_sql() -> dict[str, str]:
             "AND a.bkt IN (SELECT bkt FROM probe) "
             "ORDER BY cos_sim DESC LIMIT 10"
         ),
-        "embedding_norms": (
-            "SELECT vec_id, ROUND(sqrt(list_inner_product(v, v)), 9) AS l2_norm "
-            "FROM (SELECT vec_id, "
-            "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)"
-        ),
-        "token_count": (
-            "SELECT doc_id, len(str_split(text, ' ')) AS n_tokens FROM documents"
-        ),
+        # n_tokens_ws = the whitespace token_count kernel, certified here
         "token_count_bpe": (
             "SELECT doc_id, "
             "len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9]+')) "
@@ -563,7 +599,8 @@ def oracle_sql() -> dict[str, str]:
             "len(regexp_extract_all(text, '[0-9]+')) AS n_num, "
             "len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9]+')) "
             "- len(regexp_extract_all(text, '[A-Za-z]+')) "
-            "- len(regexp_extract_all(text, '[0-9]+')) AS n_punct "
+            "- len(regexp_extract_all(text, '[0-9]+')) AS n_punct, "
+            "len(str_split(text, ' ')) AS n_tokens_ws "
             "FROM documents"
         ),
         "quality_score": (
@@ -573,9 +610,6 @@ def oracle_sql() -> dict[str, str]:
             "len(list_filter(toks, x -> x IN "
             f"{QUALITY_SW_SQL})) / len(toks) AS stop_ratio "
             "FROM (SELECT doc_id, str_split(lower(text), ' ') AS toks FROM documents)"
-        ),
-        "doc_fingerprint": (
-            "SELECT doc_id, md5(lower(text)) AS fp FROM documents"
         ),
         # lang-ID heuristic: marker-token hit counts per language over the
         # token multiset; argmax with tie-break by language code; 'und'
@@ -599,17 +633,18 @@ def oracle_sql() -> dict[str, str]:
             "mx / n AS confidence FROM m"
         ),
         # winnowing-style rolling fingerprint: min md5_number_upper over
-        # 8-token windows of the lowered text (single window if < 8 toks).
+        # 8-token windows of the lowered text (single window if < 8 toks);
+        # fp = the exact md5(lower(text)) doc_fingerprint kernel
         "doc_rolling_fingerprint": (
-            "WITH t AS (SELECT doc_id, str_split(lower(text), ' ') AS toks "
-            "FROM documents), "
-            "g AS (SELECT doc_id, CASE WHEN len(toks) < 8 "
+            "WITH t AS (SELECT doc_id, lower(text) AS lt, "
+            "str_split(lower(text), ' ') AS toks FROM documents), "
+            "g AS (SELECT doc_id, lt, CASE WHEN len(toks) < 8 "
             "THEN [array_to_string(toks, ' ')] "
             "ELSE list_transform(generate_series(1, len(toks) - 7), "
             "i -> array_to_string(toks[i:i+7], ' ')) END AS grams FROM t) "
             "SELECT doc_id, lower(lpad(to_hex(list_min("
             "list_transform(grams, x -> md5_number_upper(x)))), 16, '0')) "
-            "AS rolling_fp FROM g"
+            "AS rolling_fp, md5(lt) AS fp FROM g"
         ),
         "doc_keywords": (
             "WITH tok AS (SELECT doc_id, "
@@ -626,15 +661,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, string_agg(token, ',' ORDER BY r) AS keywords "
             "FROM rk WHERE r <= 5 GROUP BY doc_id"
         ),
-        "payload_meta": (
-            "SELECT doc_id, octet_length(encode(text)) AS payload_bytes, "
-            "md5(text) AS payload_md5 FROM documents"
-        ),
         # multimodal fake-decode: md5(payload) bytes drive (width, height,
-        # f0..f7) — byte i of the digest = hex pair 2i+1..2i+2.
+        # f0..f7) — byte i of the digest = hex pair 2i+1..2i+2 — plus the
+        # payload_meta kernel (octet_length + md5) certified alongside
         "multimodal_decode": (
-            "WITH d AS (SELECT doc_id, md5(text) AS h FROM documents), "
-            "b AS (SELECT doc_id, "
+            "WITH d AS (SELECT doc_id, md5(text) AS h, "
+            "octet_length(encode(text)) AS payload_bytes FROM documents), "
+            "b AS (SELECT doc_id, h, payload_bytes, "
             + ", ".join(
                 f"CAST(concat('0x', substr(h, {2 * j + 1}, 2)) AS INTEGER) AS b{j}"
                 for j in range(8)
@@ -642,7 +675,7 @@ def oracle_sql() -> dict[str, str]:
             + " FROM d) "
             "SELECT doc_id, 64 + b0 % 192 AS width, 64 + b1 % 192 AS height, "
             + ", ".join(f"b{j} / 255.0 AS f{j}" for j in range(8))
-            + " FROM b"
+            + ", payload_bytes, h AS payload_md5 FROM b"
         ),
         "multimodal_resize": (
             "SELECT doc_id, 224 AS width, 224 AS height, "
@@ -956,7 +989,4 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents"
         ),
     }
-    # identical result set: the IVF index changes the PHYSICAL read
-    # (probed ivf_list= partitions only), not the semantics
-    d["ann_topk_ivf_indexed"] = d["ann_topk_ivf"]
     return d

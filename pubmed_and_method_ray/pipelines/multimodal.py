@@ -78,6 +78,15 @@ class DecodePayload:
         self.mode = mode
 
     def __call__(self, t: pa.Table) -> pa.Table:
+        # payload metadata rides along (payload_meta's kernel, carried
+        # here so size+digest sit in the same driver-certified query)
+        payloads = [p or b"" for p in t["payload"].to_pylist()]
+        meta = {
+            "payload_bytes": pa.array([len(p) for p in payloads], pa.int64()),
+            "payload_md5": pa.array(
+                [hashlib.md5(p).hexdigest() for p in payloads], pa.string()
+            ),
+        }
         widths, heights, feats = [], [], []
         if self.mode == "real":
             from ..functions.raster import decode_raster, raster_features
@@ -87,26 +96,18 @@ class DecodePayload:
                 if "media_type" in t.schema.names
                 else [None] * t.num_rows
             )
-            for payload, mt in zip(t["payload"].to_pylist(), media):
-                px = decode_raster(payload or b"", mt)
+            for payload, mt in zip(payloads, media):
+                px = decode_raster(payload, mt)
                 h, w = px.shape[:2]
                 widths.append(w)
                 heights.append(h)
                 feats.append(raster_features(px))
-            cols = {
-                "doc_id": t["doc_id"],
-                "width": pa.array(widths, pa.int32()),
-                "height": pa.array(heights, pa.int32()),
-            }
-            F = np.stack(feats) if feats else np.zeros((0, 8))
-            for j in range(8):
-                cols[f"f{j}"] = pa.array(F[:, j], pa.float64())
-            return pa.Table.from_pydict(cols)
-        for payload in t["payload"].to_pylist():
-            w, h, f = _fake_decode(payload or b"")
-            widths.append(w)
-            heights.append(h)
-            feats.append(f)
+        else:
+            for payload in payloads:
+                w, h, f = _fake_decode(payload)
+                widths.append(w)
+                heights.append(h)
+                feats.append(f)
         cols = {
             "doc_id": t["doc_id"],
             "width": pa.array(widths, pa.int32()),
@@ -117,6 +118,7 @@ class DecodePayload:
         F = np.stack(feats) if feats else np.zeros((0, 8))
         for j in range(8):
             cols[f"f{j}"] = pa.array(F[:, j], pa.float64())
+        cols.update(meta)
         return pa.Table.from_pydict(cols)
 
 

@@ -46,7 +46,9 @@ def ann_topk(sf_dir: str, query_vec_id: int = 0, k: int = 10):
     """Exact top-k by cosine vs one query vector. Ray shape: broadcast the
     (tiny) query, per-batch vectorized scores, per-batch local top-k
     pre-reduction, then a global sort+limit over ≤ k rows per batch —
-    never a full materialization."""
+    never a full materialization. Each hit also carries its ``l2_norm``
+    (embedding_norms' kernel, carried here so the norm computation sits
+    in a driver-certified query)."""
     import ray
     import ray.data as rd
     q = _load_query_vec(sf_dir, query_vec_id)
@@ -59,18 +61,22 @@ def ann_topk(sf_dir: str, query_vec_id: int = 0, k: int = 10):
         def __call__(self, t: pa.Table) -> pa.Table:
             ids = np.asarray(t["vec_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
             V = _emb_matrix(t)
-            V = V / np.linalg.norm(V, axis=1, keepdims=True)
+            # einsum (naive sum order) == the SQL oracle's
+            # list_inner_product — same kernel as embedding_norms
+            norms = np.sqrt(np.einsum("ij,ij->i", V, V))
+            V = V / norms[:, None]
             cos = V @ self.q
             keep = ids != query_vec_id
-            ids, cos = ids[keep], cos[keep]
+            ids, cos, norms = ids[keep], cos[keep], norms[keep]
             # local pre-top-k: only k rows per batch survive to the sort
             if len(ids) > k:
                 part = np.argpartition(-cos, k)[:k]
-                ids, cos = ids[part], cos[part]
+                ids, cos, norms = ids[part], cos[part], norms[part]
             return pa.Table.from_pydict(
                 {
                     "vec_id": pa.array(ids, pa.int64()),
                     "cos_sim": pa.array(np.round(cos, 9), pa.float64()),
+                    "l2_norm": pa.array(np.round(norms, 9), pa.float64()),
                 }
             )
 

@@ -88,11 +88,13 @@ BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]+"
 
 
 def token_count_bpe(sf_dir: str):
-    """(doc_id, n_tokens, n_word, n_num, n_punct): BPE-ish regex token
-    counts — the subword-tokenizer-budget estimator of a training-data
-    pipeline (vs the whitespace count in token_count). Vectorized with
-    Arrow's RE2 match counter (count_substring_regex == len(findall)
-    for these non-overlapping run patterns)."""
+    """(doc_id, n_tokens, n_word, n_num, n_punct, n_tokens_ws): BPE-ish
+    regex token counts — the subword-tokenizer-budget estimator of a
+    training-data pipeline — plus the whitespace count (token_count's
+    kernel, carried here so both variants sit in one driver-certified
+    query). Vectorized with Arrow's RE2 match counter
+    (count_substring_regex == len(findall) for these non-overlapping run
+    patterns)."""
     import pyarrow.compute as pc
 
     def f(t: pa.Table) -> pa.Table:
@@ -100,6 +102,9 @@ def token_count_bpe(sf_dir: str):
         total = pc.cast(pc.count_substring_regex(s, BPE_PATTERN), pa.int64())
         w = pc.cast(pc.count_substring_regex(s, r"[A-Za-z]+"), pa.int64())
         d = pc.cast(pc.count_substring_regex(s, r"[0-9]+"), pa.int64())
+        ws = pc.cast(
+            pc.list_value_length(pc.split_pattern(s, " ")), pa.int64()
+        )
         return pa.Table.from_pydict(
             {
                 "doc_id": t["doc_id"],
@@ -107,6 +112,7 @@ def token_count_bpe(sf_dir: str):
                 "n_word": w,
                 "n_num": d,
                 "n_punct": pc.subtract(pc.subtract(total, w), d),
+                "n_tokens_ws": ws,
             }
         )
 
@@ -393,13 +399,17 @@ def doc_rolling_fingerprint(sf_dir: str, window: int = 8):
     """Winnowing-style fingerprint: min rolling hash over token windows
     (Schleimer et al. 2003) — the near-dup fingerprint. Gram hash is
     md5_u64 so the DuckDB oracle (md5_number_upper over the same grams)
-    reproduces it exactly."""
+    reproduces it exactly. Also emits ``fp`` — the exact whole-document
+    md5 fingerprint (doc_fingerprint's kernel, carried here so both
+    fingerprint variants sit in one driver-certified query)."""
     from ..functions.hashing import md5_u64_array
 
     def f(t: pa.Table) -> pa.Table:
-        out = []
+        out, fps = [], []
         for x in t["text"].to_pylist():
-            toks = (x or "").lower().split(" ")
+            lowered = (x or "").lower()
+            fps.append(hashlib.md5(lowered.encode("utf-8")).hexdigest())
+            toks = lowered.split(" ")
             if len(toks) < window:
                 grams = [" ".join(toks)] if toks else []
             else:
@@ -412,7 +422,11 @@ def doc_rolling_fingerprint(sf_dir: str, window: int = 8):
             else:
                 out.append("0" * 16)
         return pa.Table.from_pydict(
-            {"doc_id": t["doc_id"], "rolling_fp": pa.array(out, pa.string())}
+            {
+                "doc_id": t["doc_id"],
+                "rolling_fp": pa.array(out, pa.string()),
+                "fp": pa.array(fps, pa.string()),
+            }
         )
 
     return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(

@@ -153,13 +153,17 @@ def fetch_corpus(
 
     def done(s: int) -> bool:
         # manifest = "<n_rows> <n_failed>"; a shard counts as done only
-        # when every row fetched ok (failed rows re-enqueue the shard)
+        # when every row fetched ok (failed rows re-enqueue the shard).
+        # A legacy single-field manifest (pre-failure-count runs) is
+        # UNKNOWN, not done: re-enqueue it once — its ok rows are kept
+        # by the refetch path and the rewritten manifest carries both
+        # fields, so this is a one-time migration cost per shard.
         m = os.path.join(out_dir, f"shard={s}", "_manifest")
         if not os.path.exists(m):
             return False
         with open(m) as f:
             parts = f.read().split()
-        return len(parts) < 2 or int(parts[1]) == 0
+        return len(parts) >= 2 and int(parts[1]) == 0
 
     todo = sorted(s for s in range(n_shards) if not done(s))
     if not todo:

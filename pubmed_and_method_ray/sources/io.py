@@ -76,17 +76,28 @@ def read_parquet_clean(paths, *, columns=None, **kwargs) -> "rd.Dataset":
     own ``write_parquet`` output) read as-is; files with writer
     metadata read under an explicit stripped ``schema=`` so the blocks
     are clean from birth (no extra stage, ``input_files()`` intact).
-    Only an inconclusive probe falls back to the fused strip stage."""
+    Only an inconclusive probe falls back to the fused strip stage.
+
+    The explicit-``schema=`` fast path assumes a HOMOGENEOUS multi-file
+    layout (every file carries the probed footer's schema — true for
+    this engine's own checkpoints and the test tables). A requested
+    column absent from the probed footer (e.g. a hive partition key
+    that lives in the directory name, or schema drift across files)
+    falls back to the strip-stage path, where Ray's reader unifies
+    schemas per file instead of forcing the first footer's."""
     if "schema" not in kwargs:
         probed = _probe_schema(paths)
         if probed is not None:
             clean = _cleaned(probed)
             if clean is None:
                 return rd.read_parquet(paths, columns=columns, **kwargs)
-            if columns is not None:
-                clean = pa.schema([clean.field(c) for c in columns])
-            return rd.read_parquet(
-                paths, columns=columns, schema=clean, **kwargs
-            )
+            try:
+                if columns is not None:
+                    clean = pa.schema([clean.field(c) for c in columns])
+                return rd.read_parquet(
+                    paths, columns=columns, schema=clean, **kwargs
+                )
+            except KeyError:
+                pass  # column not in the probed footer: strip-stage path
     ds = rd.read_parquet(paths, columns=columns, **kwargs)
     return ds.map_batches(strip_schema_metadata, batch_format="pyarrow")

@@ -186,7 +186,11 @@ _CENSUS_DRIVER_BUDGET = 5_000_000
 
 
 def skew_table_fast(
-    mentions_ds, n_max: int, sample_mod: int = 8, distributed: bool | None = None
+    mentions_ds,
+    n_max: int,
+    sample_mod: int = 8,
+    distributed: bool | None = None,
+    n_rows_hint: int | None = None,
 ):
     """HOST skew census on a deterministic 1/sample_mod mention sample,
     scaled back up. SAFE approximation: salting is a load-balancing
@@ -210,7 +214,21 @@ def skew_table_fast(
     )
     if distributed is None:
         n_rows, _ = known_size(mentions_ds)
+        if n_rows is None:
+            n_rows = n_rows_hint  # lazy input: caller-supplied row hint
         distributed = n_rows is None or (n_rows // sample_mod) > _CENSUS_DRIVER_BUDGET
+        if n_rows is None:
+            # no-silent-path convention: a lazy (non-materialized) input
+            # with no hint silently takes the distributed merge —
+            # measured ~8x slower than the driver merge at bench scale.
+            # Callers with a known size should materialize upstream or
+            # pass n_rows_hint.
+            import logging
+
+            logging.getLogger(__name__).info(
+                "skew census: input size unknown (lazy dataset, no "
+                "n_rows_hint) — taking the distributed merge path"
+            )
 
     if distributed:
         import pyarrow.compute as pc

@@ -1,0 +1,129 @@
+"""The driver CORRECTNESS snapshot records exactly the first 50
+``queries()`` entries in insertion order. This module (a) pins that
+order to the explicit ``CERTIFIED_QUERIES`` constant so any reordering
+or displacement is a visible diff (ADVICE r4), and (b) keeps full
+oracle-parity coverage for the standalone operator variants that no
+longer hold their own query slot (their kernels are certified inside
+sibling queries as extra columns; the standalone functions remain part
+of the API surface)."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+import __ray_entry__ as entrymod
+
+SF = "/root/testdata/sf0.001"
+
+
+class TestCertifiedList:
+    def test_queries_match_certified_order(self):
+        assert list(entrymod.queries().keys()) == list(
+            entrymod.CERTIFIED_QUERIES
+        )
+
+    def test_exactly_fifty_slots(self):
+        assert len(entrymod.CERTIFIED_QUERIES) == 50
+        assert len(set(entrymod.CERTIFIED_QUERIES)) == 50
+
+    def test_every_oracle_has_a_query(self):
+        assert set(entrymod.oracle_sql()) <= set(entrymod.CERTIFIED_QUERIES)
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    return c
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def _check(ray_ds, con, sql):
+    got = _canon(ray_ds.to_pandas())
+    want = _canon(con.execute(sql).df())
+    assert list(got.columns) == list(want.columns)
+    assert len(got) == len(want)
+    for c in got.columns:
+        if np.issubdtype(got[c].dtype, np.floating):
+            assert np.allclose(
+                got[c].astype(float), want[c].astype(float), atol=1e-12, rtol=0
+            ), c
+        else:
+            assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+
+
+class TestStandaloneVariantOracles:
+    """Oracle parity for the slotless variant functions (these SQL
+    strings are the former oracle_sql() entries, kept verbatim)."""
+
+    def test_token_count(self, con):
+        from pubmed_and_method_ray.pipelines.text_analysis import token_count
+
+        _check(
+            token_count(SF),
+            con,
+            "SELECT doc_id, len(str_split(text, ' ')) AS n_tokens FROM documents",
+        )
+
+    def test_doc_fingerprint(self, con):
+        from pubmed_and_method_ray.pipelines.text_analysis import doc_fingerprint
+
+        _check(
+            doc_fingerprint(SF),
+            con,
+            "SELECT doc_id, md5(lower(text)) AS fp FROM documents",
+        )
+
+    def test_payload_meta(self, con):
+        from pubmed_and_method_ray.pipelines.multimodal import payload_meta
+
+        _check(
+            payload_meta(SF),
+            con,
+            "SELECT doc_id, octet_length(encode(text)) AS payload_bytes, "
+            "md5(text) AS payload_md5 FROM documents",
+        )
+
+    def test_embedding_norms(self, con):
+        from pubmed_and_method_ray.pipelines.similarity import embedding_norms
+
+        _check(
+            embedding_norms(SF),
+            con,
+            "SELECT vec_id, ROUND(sqrt(list_inner_product(v, v)), 9) AS l2_norm "
+            "FROM (SELECT vec_id, "
+            "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v "
+            "FROM embeddings)",
+        )
+
+    def test_dedup_ngram_jaccard(self, con):
+        from pubmed_and_method_ray.pipelines.dedup import dedup_ngram_jaccard
+
+        jac = (
+            "len(list_intersect(a.t, b.t)) / "
+            "len(list_distinct(list_concat(a.t, b.t)))"
+        )
+        _check(
+            dedup_ngram_jaccard(SF),
+            con,
+            "WITH toks AS (SELECT doc_id, lang, source, "
+            "list_distinct(str_split(lower(text), ' ')) AS t FROM documents) "
+            "SELECT * FROM ("
+            "SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2, "
+            "a.lang AS lang, a.source AS source, "
+            f"{jac} AS jaccard "
+            "FROM toks a JOIN toks b ON a.lang = b.lang "
+            "AND a.source = b.source AND a.doc_id < b.doc_id) "
+            "WHERE jaccard >= 0.6",
+        )
