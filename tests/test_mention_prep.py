@@ -1,0 +1,172 @@
+"""Byte-parity of the vectorized ``normalize_batch`` against the
+row-by-row reference construction it replaced (per-doc ``tokenize`` +
+``np.unique`` + per-doc simhash/shingle/tfidf — the r4 implementation,
+kept here verbatim as the oracle). The flagship's blocking keys, pair
+sets and feature values all derive from these payloads, so the
+vectorized kernel must be IDENTICAL column-for-column, including
+unicode fallback rows, empties and argpartition tie-breaking."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import pubmed_and_method_ray.stages.mention_prep as mp
+from pubmed_and_method_ray.functions.hashing import hash64_array
+from pubmed_and_method_ray.functions.simhash import (
+    DEFAULT_BANDS as N_BANDS,
+    shingle_hashes_from_token_hashes,
+    simhash_bands,
+    simhash_from_hashes,
+)
+from pubmed_and_method_ray.functions.textkernels import tokenize
+from pubmed_and_method_ray.functions.tfidf import N_FEATURES, ngram_indices
+from pubmed_and_method_ray.stages.mention_prep import TFIDF_TOP_K, _list_array
+
+
+def _normalize_batch_reference(batch: pa.Table, idf=None) -> pa.Table:
+    """The pre-vectorization row-by-row implementation (oracle)."""
+    texts = batch["text_extracted"].to_pylist()
+    doc_toks = [tokenize(t) for t in texts]
+    flat = pa.array(
+        [w for toks in doc_toks for w in toks], pa.string()
+    ).dictionary_encode()
+    dict_hashes = (
+        hash64_array(flat.dictionary.to_pylist(), seed=0x70)
+        if len(flat)
+        else np.empty(0, np.uint64)
+    )
+    flat_th = (
+        dict_hashes[np.asarray(flat.indices)] if len(flat) else np.empty(0, np.uint64)
+    )
+    doc_off = np.concatenate([[0], np.cumsum([len(t) for t in doc_toks])]).astype(
+        np.int64
+    )
+    tok_hashes, sh_hashes, simhashes, bands = [], [], [], []
+    tfidf_idx, tfidf_w = [], []
+    for i, t in enumerate(texts):
+        th = flat_th[doc_off[i] : doc_off[i + 1]]
+        tok_hashes.append(np.unique((th >> np.uint64(32)).astype(np.uint32)))
+        sh_hashes.append(
+            np.unique(
+                (shingle_hashes_from_token_hashes(th, 3) >> np.uint64(32)).astype(
+                    np.uint32
+                )
+            )
+        )
+        s = simhash_from_hashes(th)
+        simhashes.append(s)
+        bands.append(simhash_bands(s, N_BANDS))
+        if idf is not None:
+            idx = ngram_indices(t or "")
+            if len(idx):
+                uniq, counts = np.unique(idx, return_counts=True)
+                w = counts.astype(np.float32) * idf[uniq]
+                if len(uniq) > TFIDF_TOP_K:
+                    keep = np.argpartition(-w, TFIDF_TOP_K)[:TFIDF_TOP_K]
+                    keep.sort()
+                    uniq, w = uniq[keep], w[keep]
+                norm = float(np.sqrt((w * w).sum()))
+                if norm > 0:
+                    w = w / norm
+                tfidf_idx.append(uniq.astype(np.uint32))
+                tfidf_w.append(w)
+            else:
+                tfidf_idx.append(np.empty(0, np.uint32))
+                tfidf_w.append(np.empty(0, np.float32))
+    ts = batch["warc_ts"].cast(pa.int64())
+    drop = [c for c in ("text_extracted", "text", "warc_ts") if c in batch.column_names]
+    out = (
+        batch.drop_columns(drop)
+        .append_column("ts_us", ts)
+        .append_column("tok_hashes", _list_array(tok_hashes, pa.uint32()))
+        .append_column("sh_hashes", _list_array(sh_hashes, pa.uint32()))
+        .append_column("simhash", pa.array(simhashes, pa.uint64()))
+        .append_column("bands", pa.array(bands, pa.list_(pa.uint64(), N_BANDS)))
+    )
+    if idf is not None:
+        out = out.append_column(
+            "tfidf_idx", _list_array(tfidf_idx, pa.uint32())
+        ).append_column("tfidf_w", _list_array(tfidf_w, pa.float32()))
+    return out
+
+
+TEXTS = [
+    "Hello, World_9! This is a test-case with MANY tokens and 123 digits.",
+    "",
+    "café Déjà vu — unicode Straße İstanbul 中文 words",
+    None,
+    "--x--",
+    "one",
+    "two tokens",
+    "a b c d e f g a b c a",
+    " ".join(f"tok{i % 37}_x" for i in range(400)),
+    "Ünïcødé mixed ASCII tail here 42",
+]
+
+
+def _batch(texts):
+    rng = np.random.default_rng(7)
+    n = len(texts)
+    return pa.table(
+        {
+            "url": pa.array([f"u{i}" for i in range(n)], pa.string()),
+            "text_extracted": pa.array(texts, pa.large_string()),
+            "warc_ts": pa.array(
+                rng.integers(1_500_000_000_000_000, 1_700_000_000_000_000, n),
+                pa.timestamp("us"),
+            ),
+            "host": pa.array(["h"] * n, pa.string()),
+        }
+    )
+
+
+def _assert_identical(got: pa.Table, want: pa.Table):
+    assert got.schema.names == want.schema.names
+    for name in want.schema.names:
+        assert got[name].combine_chunks().equals(
+            want[name].combine_chunks()
+        ), f"column {name} differs"
+
+
+class TestNormalizeBatchParity:
+    @pytest.fixture()
+    def no_ray_broadcast(self, monkeypatch):
+        monkeypatch.setattr(mp, "get_broadcast", lambda r: r)
+
+    def test_mixed_unicode_no_idf(self, no_ray_broadcast):
+        b = _batch(TEXTS)
+        _assert_identical(mp.normalize_batch(b), _normalize_batch_reference(b))
+
+    def test_mixed_unicode_with_idf(self, no_ray_broadcast):
+        idf = np.random.default_rng(3).random(N_FEATURES).astype(np.float32) + 0.5
+        texts = [t or "" for t in TEXTS]  # ngram oracle needs strings
+        b = _batch(texts)
+        _assert_identical(
+            mp.normalize_batch(b, idf), _normalize_batch_reference(b, idf)
+        )
+
+    def test_all_ascii_fast_path(self, no_ray_broadcast):
+        idf = np.random.default_rng(4).random(N_FEATURES).astype(np.float32) + 0.5
+        texts = ["" if t is None else (t if t.isascii() else "ascii sub") for t in TEXTS]
+        b = _batch(texts)
+        _assert_identical(
+            mp.normalize_batch(b, idf), _normalize_batch_reference(b, idf)
+        )
+
+    def test_all_unicode_fallback(self, no_ray_broadcast):
+        texts = ["中文 测试 words", "é è ê", "Straße über"]
+        b = _batch(texts)
+        _assert_identical(mp.normalize_batch(b), _normalize_batch_reference(b))
+
+    def test_corpus_text(self, no_ray_broadcast):
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(
+            "/root/testdata/sf0.001/documents.parquet", columns=["text"]
+        )
+        texts = t["text"].to_pylist()
+        idf = np.random.default_rng(5).random(N_FEATURES).astype(np.float32) + 0.5
+        b = _batch(texts)
+        _assert_identical(
+            mp.normalize_batch(b, idf), _normalize_batch_reference(b, idf)
+        )
