@@ -1104,6 +1104,10 @@ def events_asof_prev_click(sf_dir: str):
     clicks = _read(sf_dir, "events", cols).map_batches(
         lambda t: side(t, "click"), batch_format="pyarrow"
     )
+    # mega-key guard on by default (a hot user_id at web scale would
+    # otherwise serialize in one task): 100k is a noop at test scales
+    # but bounds per-task memory at 100 TB. The census pass it adds is
+    # budget-guarded (stages/asof._heavy_keys).
     joined = asof_join(
         purchases,
         clicks,
@@ -1112,6 +1116,7 @@ def events_asof_prev_click(sf_dir: str):
         right_cols=["event_id", "ts_us"],
         suffix="_prev",
         strict=True,
+        salt_threshold=100_000,
     )
 
     def gap(t: pa.Table) -> pa.Table:
@@ -1138,12 +1143,14 @@ def events_range_pairs_1h(sf_dir: str):
     ev = _read(sf_dir, "events", ["event_id", "ts", "user_id"]).map_batches(
         to_us, batch_format="pyarrow"
     )
+    # mega-key guard on by default (see events_asof_prev_click)
     return range_self_join(
         ev,
         key_col="user_id",
         ts_col="ts_us",
         window=3_600_000_000,
         emit_cols=["event_id"],
+        salt_threshold=100_000,
     )
 
 

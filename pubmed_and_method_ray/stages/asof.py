@@ -121,10 +121,25 @@ def _asof_block(
     return pa.Table.from_pydict(cols).cast(out_schema)
 
 
+# driver-merge budget for the mega-key census (same convention as
+# blocking._CENSUS_DRIVER_BUDGET): past this many streamed partial rows
+# the merge moves off the driver into a keyed exchange that filters to
+# the heavy tail distributedly
+_CENSUS_DRIVER_BUDGET = 5_000_000
+
+
 def _heavy_keys(ds, key_col: str, threshold: int, sample_mod: int = 8):
     """Sampled per-key row census -> {key: scaled count} for keys above
     ``threshold`` (the mega-key guard's detection pass; approximate is
-    fine — salting is a load/memory device, never a correctness one)."""
+    fine — salting is a load/memory device, never a correctness one).
+
+    Two merge paths, budget-guarded like the engine's other driver-side
+    gathers (the skew_table_fast shape, stages/blocking.py): per-batch
+    ``value_counts`` partials stream to the driver and merge in ONE
+    C-level ``pyarrow.Table.group_by`` (no per-key Python dict fold);
+    past ``_CENSUS_DRIVER_BUDGET`` partial rows the gather is abandoned
+    and the census re-runs as a distributed groupby-sum where only
+    OVER-THRESHOLD keys ever reach the driver."""
     import pyarrow.compute as pc
 
     def partial(t: pa.Table) -> pa.Table:
@@ -140,13 +155,43 @@ def _heavy_keys(ds, key_col: str, threshold: int, sample_mod: int = 8):
             {"k": vc.field("values"), "n": vc.field("counts")}
         )
 
-    counts: dict = {}
-    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
-        batch_format="pyarrow", batch_size=262144
-    ):
-        for k, n in zip(b["k"].to_pylist(), b["n"].to_pylist()):
-            counts[k] = counts.get(k, 0) + n * sample_mod
-    return {k: n for k, n in counts.items() if n > threshold}
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    batches: list | None = []
+    n_rows = 0
+    for b in parts.iter_batches(batch_format="pyarrow", batch_size=262144):
+        batches.append(b)
+        n_rows += b.num_rows
+        if n_rows > _CENSUS_DRIVER_BUDGET:
+            batches = None
+            break
+    thr = pa.scalar(threshold, pa.int64())
+    mod = pa.scalar(sample_mod, pa.int64())
+    if batches is not None:
+        if not batches:
+            return {}
+        agg = pa.concat_tables(batches).group_by("k").aggregate([("n", "sum")])
+        cnt = pc.multiply(pc.cast(agg["n_sum"], pa.int64()), mod)
+        mask = pc.greater(cnt, thr)
+        return dict(
+            zip(agg["k"].filter(mask).to_pylist(), cnt.filter(mask).to_pylist())
+        )
+
+    from ..rayutil import shuffle_partitions
+
+    def keep_heavy(t: pa.Table) -> pa.Table:
+        cnt = pc.multiply(pc.cast(t["sum(n)"], pa.int64()), mod)
+        out = pa.Table.from_pydict({"k": t["k"], "n": cnt})
+        return out.filter(pc.greater(out["n"], thr))
+
+    heavy = (
+        parts.groupby("k", num_partitions=shuffle_partitions())
+        .sum("n")
+        .map_batches(keep_heavy, batch_format="pyarrow")
+    )
+    out: dict = {}
+    for b in heavy.iter_batches(batch_format="pyarrow", batch_size=262144):
+        out.update(zip(b["k"].to_pylist(), b["n"].to_pylist()))
+    return out
 
 
 def asof_join(
@@ -216,15 +261,23 @@ def asof_join(
     combined_schema = pa.schema(combined + extra + [(_SIDE, pa.int8())])
     out_schema = pa.schema(combined)
 
+    heavy_keys_arr = pa.array(list(salt_of.keys())) if salt_of else None
+    heavy_S = (
+        np.fromiter(salt_of.values(), dtype=np.int64, count=len(salt_of))
+        if salt_of
+        else None
+    )
+
     def _salts(t: pa.Table) -> np.ndarray:
-        """Per-row S (1 for light keys) from the broadcast heavy map."""
-        S = np.ones(t.num_rows, dtype=np.int64)
-        if salt_of:
-            for i, k in enumerate(t[key_col].to_pylist()):
-                s = salt_of.get(k)
-                if s:
-                    S[i] = s
-        return S
+        """Per-row S (1 for light keys): one vectorized index_in hash
+        probe against the (tiny) heavy-key array, no per-row Python."""
+        if not salt_of:
+            return np.ones(t.num_rows, dtype=np.int64)
+        import pyarrow.compute as pc
+
+        idx = pc.index_in(t[key_col].combine_chunks(), heavy_keys_arr)
+        pos = np.asarray(idx.fill_null(-1), dtype=np.int64)
+        return np.where(pos >= 0, heavy_S[np.maximum(pos, 0)], 1)
 
     def tag_left(t: pa.Table) -> pa.Table:
         n = t.num_rows
@@ -426,14 +479,19 @@ def range_self_join(
 
     from ..functions.hashing import splitmix64
 
+    heavy_keys_arr = pa.array(list(salt_of.keys()))
+    heavy_S = np.fromiter(salt_of.values(), dtype=np.int64, count=len(salt_of))
+
     def replicate(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         t = t.combine_chunks()
         n = t.num_rows
-        S = np.ones(n, dtype=np.int64)
-        for i, k in enumerate(t[key_col].to_pylist()):
-            s = salt_of.get(k)
-            if s:
-                S[i] = s
+        # vectorized heavy-key lookup (index_in hash probe), no per-row
+        # Python even on salted batches
+        idx = pc.index_in(t[key_col].combine_chunks(), heavy_keys_arr)
+        pos = np.asarray(idx.fill_null(-1), dtype=np.int64)
+        S = np.where(pos >= 0, heavy_S[np.maximum(pos, 0)], 1)
         ts_u = np.asarray(
             t[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
         ).astype(np.uint64)

@@ -281,3 +281,86 @@ class TestMegaKeySalting:
         assert base.equals(salted)
         # exactly-once: no duplicate pairs
         assert not salted.duplicated(["eid_a", "eid_b"]).any()
+
+
+class TestHeavyKeyCensus:
+    """The mega-key census must give the same heavy map on both merge
+    paths: the C-level driver group_by (under _CENSUS_DRIVER_BUDGET)
+    and the distributed groupby-sum fallback (past it)."""
+
+    def _ds(self):
+        rng = np.random.RandomState(17)
+        n = 4000
+        return rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "k": np.r_[
+                        np.zeros(n - 200, np.int64),
+                        np.full(120, 7, np.int64),
+                        rng.randint(100, 200, 80),
+                    ],
+                    "t": np.arange(n, dtype=np.int64),
+                }
+            )
+        )
+
+    def test_driver_and_distributed_paths_agree(self, monkeypatch):
+        import pubmed_and_method_ray.stages.asof as asof_mod
+
+        driver = asof_mod._heavy_keys(self._ds(), "k", threshold=64, sample_mod=1)
+        monkeypatch.setattr(asof_mod, "_CENSUS_DRIVER_BUDGET", 0)
+        dist = asof_mod._heavy_keys(self._ds(), "k", threshold=64, sample_mod=1)
+        assert driver == dist
+        assert set(driver) == {0, 7}
+        assert driver[0] == 3800 and driver[7] == 120
+
+    def test_sampled_counts_scale_up(self):
+        from pubmed_and_method_ray.stages.asof import _heavy_keys
+
+        heavy = _heavy_keys(self._ds(), "k", threshold=1000, sample_mod=4)
+        assert set(heavy) == {0}
+        # 3800 rows stride-sampled 1/4 inside each streamed batch, scaled
+        # back x4: approximately the true count
+        assert abs(heavy[0] - 3800) <= 3800 * 0.05
+
+    def test_asof_salted_with_forced_distributed_census(self, monkeypatch):
+        import pubmed_and_method_ray.stages.asof as asof_mod
+
+        rng = np.random.RandomState(19)
+        n_l, n_r = 1500, 300
+        ldf = pd.DataFrame(
+            {
+                "k": np.r_[np.zeros(n_l - 5, np.int64), np.arange(1, 6)],
+                "t": rng.randint(0, 50_000, n_l).astype(np.int64),
+                "lid": np.arange(n_l),
+            }
+        )
+        rdf = (
+            pd.DataFrame(
+                {
+                    "k": np.r_[np.zeros(n_r - 3, np.int64), np.arange(1, 4)],
+                    "t": rng.randint(0, 50_000, n_r).astype(np.int64),
+                    "rid": np.arange(n_r),
+                }
+            )
+            .drop_duplicates(["k", "t"])
+            .reset_index(drop=True)
+        )
+        base = (
+            asof_join(
+                rd.from_pandas(ldf), rd.from_pandas(rdf),
+                key_col="k", ts_col="t", right_cols=["rid"],
+            )
+            .to_pandas().sort_values("lid").reset_index(drop=True)
+        )
+        monkeypatch.setattr(asof_mod, "_CENSUS_DRIVER_BUDGET", 0)
+        salted = (
+            asof_join(
+                rd.from_pandas(ldf), rd.from_pandas(rdf),
+                key_col="k", ts_col="t", right_cols=["rid"],
+                salt_threshold=100,
+            )
+            .to_pandas().sort_values("lid").reset_index(drop=True)
+        )
+        assert len(base) > 500
+        assert base.equals(salted)
