@@ -249,3 +249,154 @@ def read_corpus(out_dir: str):
     )
     paths = [os.path.join(out_dir, d, "part.parquet") for d in shards]
     return read_parquet_clean(paths)
+
+
+def _fs_of(out_dir: str, filesystem=None):
+    """(pyarrow FileSystem, path) for a URI or local path."""
+    from pyarrow import fs as pafs
+
+    if filesystem is not None:
+        return filesystem, out_dir
+    return pafs.FileSystem.from_uri(out_dir) if "://" in out_dir else (
+        pafs.LocalFileSystem(),
+        out_dir,
+    )
+
+
+def fetch_corpus_ds(
+    ids_ds,
+    out_dir: str,
+    fetcher=None,
+    n_shards: int | None = None,
+    max_per_sec: float = 1e9,
+    max_retries: int = 3,
+    filesystem=None,
+):
+    """Object-store variant of ``fetch_corpus``: NO worker-local file
+    I/O. The fetch stage only RETURNS rows; persistence flows through
+    ``Dataset.write_parquet`` (hive-partitioned on ``shard``) against
+    any pyarrow filesystem — an s3:// / gcs:// URI, an injected
+    ``filesystem`` handle, or a local path — and the per-shard
+    ``_manifest`` files are written by the DRIVER through the same
+    filesystem handle. Use this on clusters without shared POSIX
+    storage (the ``fetch_corpus`` docstring's documented requirement).
+
+    Resume is shard-grained here: a shard with a complete all-ok
+    manifest is skipped at the read; a shard that is missing, partial,
+    or sealed with failed rows is refetched WHOLE (its directory is
+    cleared first so write_parquet never mixes runs). The per-row
+    refetch of the files sink needs worker-side reads of prior output,
+    which is exactly the shared-FS coupling this variant removes.
+
+    Returns the number of shards fetched this call (0 on a fully
+    resumed rerun)."""
+    import pyarrow.compute as pc
+    from pyarrow import fs as pafs
+
+    from ..functions.hashing import md5_u64_array
+
+    fs, root = _fs_of(out_dir, filesystem)
+    n_shards = n_shards or shuffle_partitions()
+
+    def done(s: int) -> bool:
+        m = f"{root}/shard={s}/_manifest"
+        try:
+            with fs.open_input_stream(m) as f:
+                parts = f.read().decode().split()
+        except (FileNotFoundError, OSError):
+            return False
+        return len(parts) >= 2 and int(parts[1]) == 0
+
+    todo = sorted(s for s in range(n_shards) if not done(s))
+    if not todo:
+        return 0
+    for s in todo:  # clear stale/partial shard output before rewriting
+        try:
+            fs.delete_dir(f"{root}/shard={s}")
+        except (FileNotFoundError, OSError):
+            pass
+    todo_arr = pa.array(todo, pa.int64())
+
+    def assign_and_filter(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        sh = md5_u64_array([str(i) for i in ids]) % np.uint64(n_shards)
+        out = pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "shard": pa.array(sh.astype(np.int64), pa.int64()),
+            }
+        )
+        return out.filter(pc.is_in(out["shard"], todo_arr))
+
+    fetch_kwargs = {
+        "fetcher": fetcher,
+        "max_per_sec": max_per_sec,
+        "max_retries": max_retries,
+    }
+
+    def fetch_group(g: pa.Table) -> pa.Table:
+        ids = np.unique(g["doc_id"].to_numpy(zero_copy_only=False))
+        part = FetchShard(**fetch_kwargs)(
+            pa.table({"doc_id": pa.array(ids, pa.int64())})
+        )
+        return part.append_column(
+            "shard", pa.array([int(g["shard"][0].as_py())] * part.num_rows, pa.int64())
+        )
+
+    fetched = (
+        ids_ds.map_batches(assign_and_filter, batch_format="pyarrow")
+        .groupby("shard", num_partitions=min(len(todo), shuffle_partitions()))
+        .map_groups(fetch_group, batch_format="pyarrow")
+    )
+    fetched.write_parquet(root, filesystem=fs, partition_cols=["shard"])
+
+    # manifests: count rows/failures from the WRITTEN data (one
+    # column-pruned status read per shard, driver-side through the same
+    # filesystem handle), then seal — manifest written LAST, so a crash
+    # mid-run leaves the shard pending, same contract as the files sink
+    import pyarrow.parquet as pq
+
+    n_written = 0
+    for s in todo:
+        infos = fs.get_file_info(pafs.FileSelector(f"{root}/shard={s}"))
+        n = ok = 0
+        for info in infos:
+            if not info.base_name.endswith(".parquet"):
+                continue
+            st = pq.read_table(info.path, columns=["status"], filesystem=fs)[
+                "status"
+            ]
+            n += len(st)
+            ok += pc.sum(pc.cast(pc.equal(st, "ok"), pa.int64())).as_py() or 0
+        with fs.open_output_stream(f"{root}/shard={s}/_manifest") as f:
+            f.write(f"{n} {n - ok}".encode())
+        n_written += 1
+    return n_written
+
+
+def read_corpus_ds(out_dir: str, filesystem=None):
+    """Read back shards written by ``fetch_corpus_ds`` through any
+    pyarrow filesystem (manifest-validated, hive shard dirs)."""
+    from .io import read_parquet_clean
+
+    fs, root = _fs_of(out_dir, filesystem)
+    from pyarrow import fs as pafs
+
+    sel = pafs.FileSelector(root, allow_not_found=True)
+    shards = sorted(
+        info.base_name
+        for info in fs.get_file_info(sel)
+        if info.type == pafs.FileType.Directory
+        and info.base_name.startswith("shard=")
+        and fs.get_file_info(f"{root}/{info.base_name}/_manifest").type
+        == pafs.FileType.File
+    )
+    # explicit FILE list (a directory list would make pyarrow treat each
+    # entry as a file, and it also keeps _manifest out of the read)
+    files = sorted(
+        info.path
+        for d in shards
+        for info in fs.get_file_info(pafs.FileSelector(f"{root}/{d}"))
+        if info.base_name.endswith(".parquet")
+    )
+    return read_parquet_clean(files, filesystem=fs)

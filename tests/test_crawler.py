@@ -125,3 +125,83 @@ class TestFetchCorpus:
         assert sorted(df.doc_id) == list(range(60))
         # and now it is fully resumed: nothing to do
         assert fetch_corpus(_ids_ds(60, dupes=False), OUT, n_shards=4) == 0
+
+
+class TestDatasetSink:
+    """fetch_corpus_ds: no worker-local file I/O — persistence flows
+    through Dataset.write_parquet + an injected pyarrow filesystem, so
+    it works on clusters WITHOUT shared POSIX storage."""
+
+    OUT2 = "/tmp/test_crawl_ds"
+
+    def _clean(self):
+        shutil.rmtree(self.OUT2, ignore_errors=True)
+
+    def test_fetch_read_back_matches_files_sink(self):
+        from pubmed_and_method_ray.sources.crawler import (
+            fetch_corpus_ds,
+            read_corpus_ds,
+        )
+
+        self._clean()
+        n = fetch_corpus_ds(_ids_ds(), self.OUT2, n_shards=6)
+        assert n == 6
+        df = read_corpus_ds(self.OUT2).to_pandas().sort_values("doc_id")
+        assert len(df) == 200  # dupes dropped
+        assert (df.status == "ok").all()
+        assert (df.n_bytes == 32 * (1 + df.doc_id % 7)).all()
+        # resume: all manifests sealed ok -> nothing refetched
+        assert fetch_corpus_ds(_ids_ds(), self.OUT2, n_shards=6) == 0
+
+    def test_all_io_through_injected_filesystem(self, tmp_path):
+        """Simulates non-shared storage: every byte must flow through
+        the injected filesystem handle (rooted at the 'driver' dir);
+        the raw relative path must never materialize in the worker or
+        driver cwd."""
+        from pyarrow import fs as pafs
+
+        from pubmed_and_method_ray.sources.crawler import (
+            fetch_corpus_ds,
+            read_corpus_ds,
+        )
+
+        driver_root = str(tmp_path / "driver_store")
+        os.makedirs(driver_root)
+        subfs = pafs.SubTreeFileSystem(driver_root, pafs.LocalFileSystem())
+        n = fetch_corpus_ds(_ids_ds(60), "corpus", n_shards=4, filesystem=subfs)
+        assert n == 4
+        # data landed under the injected root, not under any cwd path
+        assert sorted(os.listdir(driver_root)) == ["corpus"]
+        assert not os.path.exists("corpus")
+        df = read_corpus_ds("corpus", filesystem=subfs).to_pandas()
+        assert len(df) == 60
+        assert (df.status == "ok").all()
+        # resume through the same handle
+        assert fetch_corpus_ds(_ids_ds(60), "corpus", n_shards=4, filesystem=subfs) == 0
+
+    def test_failed_shard_refetched_whole(self):
+        from pubmed_and_method_ray.sources.crawler import (
+            fetch_corpus_ds,
+            read_corpus_ds,
+        )
+
+        self._clean()
+
+        calls: dict[int, int] = {}
+
+        def flaky(doc_id: int, attempt: int) -> bytes:
+            return deterministic_fetcher(doc_id, attempt)
+
+        fetch_corpus_ds(_ids_ds(100, dupes=False), self.OUT2, n_shards=4)
+        # corrupt one manifest to claim failures -> that shard refetches
+        shard_dir = os.path.join(self.OUT2, "shard=2")
+        with open(os.path.join(shard_dir, "_manifest")) as f:
+            n_rows = int(f.read().split()[0])
+        with open(os.path.join(shard_dir, "_manifest"), "w") as f:
+            f.write(f"{n_rows} 3")
+        assert fetch_corpus_ds(_ids_ds(100, dupes=False), self.OUT2, n_shards=4) == 1
+        df = read_corpus_ds(self.OUT2).to_pandas()
+        assert len(df) == 100
+        assert (df.status == "ok").all()
+        with open(os.path.join(shard_dir, "_manifest")) as f:
+            assert f.read().split()[1] == "0"
