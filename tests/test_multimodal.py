@@ -423,7 +423,7 @@ class TestDecodeActors:
         assert o1.equals(o2)
         assert o1.column_names == ["doc_id", "width", "height"] + [
             f"f{j}" for j in range(8)
-        ]
+        ] + ["payload_bytes", "payload_md5"]
         assert all(64 <= w < 256 for w in o1["width"].to_pylist())
 
     def test_resize_outputs_target_dims(self):
