@@ -128,28 +128,38 @@ def connected_components_distributed(
     edge_cols: tuple[str, str] = ("url_1", "url_2"),
     node_col: str = "url",
     label_col: str = "cluster_id",
+    frontier_broadcast_max: int = 2_000_000,
 ):
     """Min-label propagation entirely in Ray Data: each round is one hash
     join (edge messages pick up the source's current label) plus one
     groupby-min — fully vectorized, no per-group Python. O(component
     diameter) rounds; near-dup clusters are dense so this converges in a
     handful. Works for any orderable node type (url strings, int64 doc
-    ids). Returns (node, label) for every node in an edge."""
+    ids). Returns (node, label) for every node in an edge.
+
+    Two scale properties of the loop:
+
+    - ``edges_ds`` is consumed exactly ONCE (the materialized neighbor
+      list seeds everything else). In the streaming production path the
+      edge dataset is lazy all the way back through the fused
+      pair-gen/featurize/score exchange; consuming it twice (labels init
+      + neighbor build, as earlier rounds did) re-executed that whole
+      upstream a second time.
+    - messages are FRONTIER-ONLY once the frontier is small: a label
+      only needs forwarding in the round after it changed (labels only
+      decrease, so each value a node ever holds is forwarded exactly
+      once; the fixpoint is the same one full re-broadcast reaches).
+      Rounds whose changed-set fits ``frontier_broadcast_max`` skip the
+      O(edges) hash join entirely — the frontier is ray.put once and
+      each neighbor-list task probes it with a C-level ``index_in``
+      (the repo's budget-guarded broadcast pattern). Rounds past the
+      budget keep the dense nbrs⋈labels join: a SPARSE join side would
+      leave hash partitions with zero received rows, which Ray's join
+      aggregator finalizes as a zero-column table (ArrowInvalid on the
+      key) — dense-or-broadcast sidesteps that by construction."""
     from ray.data.aggregate import Min
 
     c1, c2 = edge_cols
-
-    def to_nodes(t: pa.Table) -> pa.Table:
-        a = t.select([c1]).rename_columns([node_col])
-        b = t.select([c2]).rename_columns([node_col])
-        tt = pa.concat_tables([a, b]).combine_chunks()
-        return tt.append_column(label_col, tt[node_col])
-
-    labels = (
-        edges_ds.map_batches(to_nodes, batch_format="pyarrow")
-        .groupby(node_col, num_partitions=shuffle_partitions())
-        .aggregate(Min(label_col, alias_name=label_col))
-    ).materialize()
 
     # undirected edges, both directions once: (node=src, nbr=dst)
     def both_dirs(t: pa.Table) -> pa.Table:
@@ -158,6 +168,18 @@ def connected_components_distributed(
         return pa.concat_tables([fwd, rev])
 
     nbrs = edges_ds.map_batches(both_dirs, batch_format="pyarrow").materialize()
+
+    # initial labels (every endpoint labels itself) derive from the
+    # MATERIALIZED neighbors, not from edges_ds — see docstring.
+    def self_label(t: pa.Table) -> pa.Table:
+        tt = t.select([node_col]).combine_chunks()
+        return tt.append_column(label_col, tt[node_col])
+
+    labels = (
+        nbrs.map_batches(self_label, batch_format="pyarrow")
+        .groupby(node_col, num_partitions=shuffle_partitions())
+        .aggregate(Min(label_col, alias_name=label_col))
+    ).materialize()
     # join aggregators are actors; the count scales with the cluster and
     # is never capped at a constant (a hard 64 here would hold ~1/64 of
     # all edge messages per partition at 100 TB)
@@ -179,12 +201,71 @@ def connected_components_distributed(
             }
         )
 
+    # frontier = nodes whose label changed last round (lazy filter over
+    # the materialized agg). Every node "changed" at round 0 (initial
+    # label acquisition), so the first round always takes the dense join.
+    def keep_changed(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.not_equal(t[label_col], t["old"])).drop_columns(
+            ["old"]
+        )
+
+    def broadcast_msgs(frontier_ds):
+        """Gather the (bounded) frontier to the driver, ray.put it once,
+        and emit messages with an index_in probe per nbrs batch — no
+        shuffle, no sparse join side."""
+        import ray
+
+        from .mention_prep import get_broadcast
+
+        parts = [
+            b
+            for b in frontier_ds.iter_batches(
+                batch_format="pyarrow", batch_size=65536
+            )
+        ]
+        tbl = (
+            pa.concat_tables(parts).combine_chunks()
+            if parts
+            else None
+        )
+        assert tbl is not None and tbl.num_rows > 0  # caller checks changed>0
+        ref = ray.put((tbl[node_col].combine_chunks(), tbl[label_col].combine_chunks()))
+
+        def bmsgs(t: pa.Table, ref=ref) -> pa.Table:
+            import pyarrow.compute as pc
+
+            nodes, lbls = get_broadcast(ref)
+            tt = t.combine_chunks()
+            idx = pc.index_in(tt[node_col], nodes)
+            mask = idx.is_valid()
+            dst = tt["nbr"].filter(mask)
+            lab = lbls.take(idx.filter(mask))
+            return pa.Table.from_pydict(
+                {
+                    node_col: dst,
+                    label_col: lab,
+                    "old": pa.nulls(len(dst), type=lab.type),
+                }
+            )
+
+        return nbrs.map_batches(bmsgs, batch_format="pyarrow")
+
+    frontier = None  # None -> dense join round
+    frontier_rows = None
     converged = False
     for _ in range(max_rounds):
-        # messages: each edge forwards its source's current label to dst
-        msgs = nbrs.join(
-            labels, join_type="inner", on=(node_col,), num_partitions=num_partitions
-        ).map_batches(to_msgs, batch_format="pyarrow")
+        if frontier is not None and frontier_rows <= frontier_broadcast_max:
+            msgs = broadcast_msgs(frontier)
+        else:
+            # dense path: every node forwards its current label
+            msgs = nbrs.join(
+                labels,
+                join_type="inner",
+                on=(node_col,),
+                num_partitions=num_partitions,
+            ).map_batches(to_msgs, batch_format="pyarrow")
         agg = (
             labels.map_batches(tag_old, batch_format="pyarrow")
             .union(msgs)
@@ -211,6 +292,8 @@ def connected_components_distributed(
             agg.map_batches(count_changed, batch_format="pyarrow").sum("changed")
             or 0
         )
+        frontier = agg.map_batches(keep_changed, batch_format="pyarrow")
+        frontier_rows = int(changed)
         labels = agg.drop_columns(["old"])
         if changed == 0:
             converged = True

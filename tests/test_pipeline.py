@@ -248,6 +248,71 @@ class TestConnectedComponents:
         want.update({s: s for s in singles})
         assert got == want
 
+    def test_distributed_long_chain_both_message_paths(self):
+        """An 8-node chain needs ~7 propagation rounds with shrinking
+        frontiers: the default run exercises the broadcast-frontier
+        message path (every round past the first fits the budget), and
+        frontier_broadcast_max=0 forces the dense nbrs-join path every
+        round — both must reach the same min-label fixpoint."""
+        import ray
+        import pyarrow as pa
+
+        from pubmed_and_method_ray.stages.cluster import (
+            connected_components_distributed,
+        )
+
+        n = 8
+        u = [f"c{i:02d}" for i in range(n)]
+        t = pa.Table.from_pydict({"url_1": u[:-1], "url_2": u[1:]})
+        want = {x: u[0] for x in u}
+        for budget in (2_000_000, 0):
+            out = connected_components_distributed(
+                ray.data.from_arrow(t), frontier_broadcast_max=budget
+            ).to_pandas()
+            assert dict(zip(out["url"], out["cluster_id"])) == want, budget
+
+    def test_distributed_consumes_edges_once(self):
+        """The (possibly lazy) edge dataset's upstream must execute
+        exactly once: the CC loop seeds everything from the materialized
+        neighbor list. Consuming edges twice re-executes the whole fused
+        pair-gen/featurize/score exchange in the streaming production
+        path (measured as ~2x flagship CC wall-time at 2M pages)."""
+        import ray
+        import pyarrow as pa
+
+        from pubmed_and_method_ray.stages.cluster import (
+            connected_components_distributed,
+        )
+
+        @ray.remote
+        class Counter:
+            def __init__(self):
+                self.n = 0
+
+            def inc(self):
+                self.n += 1
+
+            def get(self):
+                return self.n
+
+        counter = Counter.remote()
+        t = pa.table({"url_1": ["a", "b"], "url_2": ["b", "c"]})
+
+        def counting(batch: pa.Table) -> pa.Table:
+            ray.get(counter.inc.remote())
+            return batch
+
+        edges = ray.data.from_arrow(t).map_batches(
+            counting, batch_format="pyarrow"
+        )
+        out = connected_components_distributed(edges).to_pandas()
+        assert dict(zip(out["url"], out["cluster_id"])) == {
+            "a": "a",
+            "b": "a",
+            "c": "a",
+        }
+        assert ray.get(counter.get.remote()) == 1
+
     def test_distributed_int_node_ids(self):
         """Generic edge/node columns: int64 doc ids instead of url strings."""
         import ray
