@@ -47,13 +47,18 @@ def extract_stage(batch: pa.Table) -> pa.Table:
     )
 
 
-_REF_CACHE: dict = {}
+_REF_CACHE: "OrderedDict" = __import__("collections").OrderedDict()
+_REF_CACHE_MAX = 8  # distinct broadcasts alive per worker at once: model +
+# idf + skew + a few CC frontier rounds. Iterative loops (the CC
+# frontier broadcast mints a NEW ref every round) would otherwise pin
+# every past round's table in each worker's heap for the job lifetime.
 
 
 def get_broadcast(ref):
     """Fetch a ray.put broadcast once per worker process (numpy payloads
     come back zero-copy from plasma; the cache skips repeat deserializes
-    for dict payloads)."""
+    for dict payloads). LRU-bounded so iterative per-round broadcasts
+    don't accumulate."""
     if ref is None:
         return None
     key = ref.hex() if hasattr(ref, "hex") else str(ref)
@@ -61,6 +66,10 @@ def get_broadcast(ref):
         import ray
 
         _REF_CACHE[key] = ray.get(ref)
+        if len(_REF_CACHE) > _REF_CACHE_MAX:
+            _REF_CACHE.popitem(last=False)
+    else:
+        _REF_CACHE.move_to_end(key)
     return _REF_CACHE[key]
 
 

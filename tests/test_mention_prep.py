@@ -170,3 +170,40 @@ class TestNormalizeBatchParity:
         _assert_identical(
             mp.normalize_batch(b, idf), _normalize_batch_reference(b, idf)
         )
+
+
+class TestBroadcastCache:
+    def test_lru_bound_and_refetch(self, monkeypatch):
+        """The per-worker broadcast cache is LRU-bounded: iterative
+        loops that mint a new ref per round (CC frontier broadcast)
+        must not pin every past round's table for the job lifetime.
+        Eviction is transparent — a re-request just re-fetches."""
+        import ray
+
+        class FakeRef:
+            def __init__(self, k):
+                self._k = f"ref{k:04d}"
+
+            def hex(self):
+                return self._k
+
+        fetches = []
+
+        def fake_get(ref):
+            fetches.append(ref.hex())
+            return ref.hex().upper()
+
+        monkeypatch.setattr(ray, "get", fake_get)
+        mp._REF_CACHE.clear()
+        refs = [FakeRef(i) for i in range(mp._REF_CACHE_MAX + 3)]
+        for r in refs:
+            assert mp.get_broadcast(r) == r.hex().upper()
+        assert len(mp._REF_CACHE) == mp._REF_CACHE_MAX
+        # oldest evicted, newest retained without a second fetch
+        n = len(fetches)
+        assert mp.get_broadcast(refs[-1]) == refs[-1].hex().upper()
+        assert len(fetches) == n
+        # evicted ref transparently re-fetches
+        assert mp.get_broadcast(refs[0]) == refs[0].hex().upper()
+        assert len(fetches) == n + 1
+        mp._REF_CACHE.clear()
