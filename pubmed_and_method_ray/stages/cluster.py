@@ -152,11 +152,18 @@ def connected_components_distributed(
       Rounds whose changed-set fits ``frontier_broadcast_max`` skip the
       O(edges) hash join entirely — the frontier is ray.put once and
       each neighbor-list task probes it with a C-level ``index_in``
-      (the repo's budget-guarded broadcast pattern). Rounds past the
-      budget keep the dense nbrs⋈labels join: a SPARSE join side would
-      leave hash partitions with zero received rows, which Ray's join
-      aggregator finalizes as a zero-column table (ArrowInvalid on the
-      key) — dense-or-broadcast sidesteps that by construction."""
+      (the repo's budget-guarded broadcast pattern). The messages are
+      then min-reduced per receiving node (a shuffle over the SMALL
+      message stream only); when the reduced set also fits the budget
+      it is broadcast back and the round updates every label row with
+      a per-batch ``min(label, msg)`` probe — no O(all nodes)
+      union+groupby re-shuffle at all (that re-shuffle, once per
+      round, dominated distributed-CC wall-time at 2M pages). Only
+      rounds past the budgets keep the dense nbrs⋈labels join +
+      full groupby-min: a SPARSE join side would leave hash partitions
+      with zero received rows, which Ray's join aggregator finalizes
+      as a zero-column table (ArrowInvalid on the key) —
+      dense-or-broadcast sidesteps that by construction."""
     from ray.data.aggregate import Min
 
     c1, c2 = edge_cols
@@ -211,6 +218,14 @@ def connected_components_distributed(
             ["old"]
         )
 
+    def _gather_small(ds) -> pa.Table:
+        parts = [
+            b
+            for b in ds.iter_batches(batch_format="pyarrow", batch_size=65536)
+        ]
+        assert parts, "caller guarantees a non-empty bounded dataset"
+        return pa.concat_tables(parts).combine_chunks()
+
     def broadcast_msgs(frontier_ds):
         """Gather the (bounded) frontier to the driver, ray.put it once,
         and emit messages with an index_in probe per nbrs batch — no
@@ -219,18 +234,7 @@ def connected_components_distributed(
 
         from .mention_prep import get_broadcast
 
-        parts = [
-            b
-            for b in frontier_ds.iter_batches(
-                batch_format="pyarrow", batch_size=65536
-            )
-        ]
-        tbl = (
-            pa.concat_tables(parts).combine_chunks()
-            if parts
-            else None
-        )
-        assert tbl is not None and tbl.num_rows > 0  # caller checks changed>0
+        tbl = _gather_small(frontier_ds)
         ref = ray.put((tbl[node_col].combine_chunks(), tbl[label_col].combine_chunks()))
 
         def bmsgs(t: pa.Table, ref=ref) -> pa.Table:
@@ -252,12 +256,72 @@ def connected_components_distributed(
 
         return nbrs.map_batches(bmsgs, batch_format="pyarrow")
 
+    def apply_broadcast(mmin_tbl):
+        """Shuffle-free round: broadcast the min-reduced messages and
+        update every label row in place (new = min(label, msg), old =
+        pre-round label) with a per-batch index_in probe. Replaces the
+        O(all nodes) union+groupby re-shuffle that dominated the
+        broadcast rounds at 2M pages."""
+        import ray
+
+        from .mention_prep import get_broadcast
+
+        ref = ray.put(
+            (
+                mmin_tbl[node_col].combine_chunks(),
+                mmin_tbl["msg"].combine_chunks(),
+            )
+        )
+
+        def apply_msgs(t: pa.Table, ref=ref) -> pa.Table:
+            import pyarrow.compute as pc
+
+            nodes, mins = get_broadcast(ref)
+            tt = t.combine_chunks()
+            cur = tt[label_col]
+            idx = pc.index_in(tt[node_col], nodes)
+            msg = mins.take(idx)  # null where the node got no message
+            new = pc.if_else(
+                pc.fill_null(pc.less(msg, cur), False), msg, cur
+            )
+            return pa.Table.from_pydict(
+                {node_col: tt[node_col], label_col: new, "old": cur}
+            )
+
+        return labels.map_batches(apply_msgs, batch_format="pyarrow")
+
     frontier = None  # None -> dense join round
     frontier_rows = None
     converged = False
     for _ in range(max_rounds):
+        agg = None
         if frontier is not None and frontier_rows <= frontier_broadcast_max:
             msgs = broadcast_msgs(frontier)
+            # min-reduce the (small) message stream per node; if the
+            # reduced set also fits the budget, the whole round is
+            # shuffle-free over labels
+            mmin = (
+                msgs.drop_columns(["old"])
+                .groupby(node_col, num_partitions=shuffle_partitions())
+                .aggregate(Min(label_col, alias_name="msg"))
+            ).materialize()
+            if mmin.count() <= frontier_broadcast_max:
+                agg = apply_broadcast(_gather_small(mmin)).materialize()
+            else:
+                # too many receivers to broadcast: re-shape the reduced
+                # messages for the dense union+groupby fallback
+                def _msg_rows(t: pa.Table) -> pa.Table:
+                    return pa.Table.from_pydict(
+                        {
+                            node_col: t[node_col],
+                            label_col: t["msg"],
+                            "old": pa.nulls(
+                                t.num_rows, type=t.schema.field("msg").type
+                            ),
+                        }
+                    )
+
+                msgs = mmin.map_batches(_msg_rows, batch_format="pyarrow")
         else:
             # dense path: every node forwards its current label
             msgs = nbrs.join(
@@ -266,15 +330,16 @@ def connected_components_distributed(
                 on=(node_col,),
                 num_partitions=num_partitions,
             ).map_batches(to_msgs, batch_format="pyarrow")
-        agg = (
-            labels.map_batches(tag_old, batch_format="pyarrow")
-            .union(msgs)
-            .groupby(node_col, num_partitions=shuffle_partitions())
-            .aggregate(
-                Min(label_col, alias_name=label_col),
-                Min("old", alias_name="old"),
-            )
-        ).materialize()
+        if agg is None:
+            agg = (
+                labels.map_batches(tag_old, batch_format="pyarrow")
+                .union(msgs)
+                .groupby(node_col, num_partitions=shuffle_partitions())
+                .aggregate(
+                    Min(label_col, alias_name=label_col),
+                    Min("old", alias_name="old"),
+                )
+            ).materialize()
 
         # convergence: DISTRIBUTED changed-label count (per-batch partial
         # sums reduced by ds.sum — no driver-side row scan)

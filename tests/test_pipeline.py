@@ -271,6 +271,29 @@ class TestConnectedComponents:
             ).to_pandas()
             assert dict(zip(out["url"], out["cluster_id"])) == want, budget
 
+    def test_distributed_star_all_three_round_tiers(self):
+        """A star graph walks every round tier in one run: round 0 is
+        the dense join (frontier=None), round 1 has a 1-node frontier
+        whose min-reduced messages (100 receivers) overflow the budget
+        of 50 (broadcast-msgs + union+groupby fallback), round 2 has a
+        99-node frontier past the budget (dense join again)."""
+        import ray
+        import pyarrow as pa
+
+        from pubmed_and_method_ray.stages.cluster import (
+            connected_components_distributed,
+        )
+
+        leaves = [f"a{i:02d}" for i in range(100)]
+        t = pa.Table.from_pydict(
+            {"url_1": ["z"] * 100, "url_2": leaves}
+        )
+        out = connected_components_distributed(
+            ray.data.from_arrow(t), frontier_broadcast_max=50
+        ).to_pandas()
+        want = {x: "a00" for x in leaves + ["z"]}
+        assert dict(zip(out["url"], out["cluster_id"])) == want
+
     def test_distributed_consumes_edges_once(self):
         """The (possibly lazy) edge dataset's upstream must execute
         exactly once: the CC loop seeds everything from the materialized
