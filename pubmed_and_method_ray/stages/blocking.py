@@ -303,15 +303,19 @@ def pack_heavy_hosts(
     make hash-assigned buckets wildly uneven (measured 1ms-18.9s task
     skew across one wave — the high-width straggler). Sort by work
     descending, assign each host to the currently-lightest bucket
-    (classic LPT packing). Light hosts stay hash-assigned."""
-    order = np.argsort(counts.astype(np.float64) ** 2)[::-1]
-    loads = np.zeros(n_buckets, dtype=np.float64)
-    out = np.empty(len(keys), dtype=np.int32)
+    (classic LPT packing, O(H log B) via a heap). Ties break on the
+    lowest bucket index, matching the argmin formulation this replaces.
+    Light hosts stay hash-assigned."""
+    import heapq
+
     w = counts.astype(np.float64) ** 2
+    order = np.argsort(w)[::-1]
+    heap = [(0.0, b) for b in range(n_buckets)]
+    out = np.empty(len(keys), dtype=np.int32)
     for i in order:
-        b = int(np.argmin(loads))
+        load, b = heap[0]
         out[i] = b
-        loads[b] += w[i]
+        heapq.heapreplace(heap, (load + w[i], b))
     return out
 
 
