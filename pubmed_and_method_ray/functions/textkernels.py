@@ -139,16 +139,26 @@ def jaro_winkler_similarity(s1: str | None, s2: str | None, p: float = 0.1) -> f
 
 def _encode_padded(strs, pad_val: int):
     """Codepoint matrix (n, maxlen) int32 padded with ``pad_val`` +
-    int64 lengths — shared encoding for the batch string kernels."""
+    int64 lengths — shared encoding for the batch string kernels.
+    ONE join + ONE utf-32 encode + a flat scatter (utf-32-le is
+    context-free per codepoint, so the joined encode is byte-identical
+    to per-string encodes); no per-string Python in the hot path."""
     n = len(strs)
     lens = np.fromiter((len(s) for s in strs), dtype=np.int64, count=n)
     maxlen = int(lens.max()) if n else 0
-    M = np.full((n, max(maxlen, 1)), pad_val, dtype=np.int32)
-    for k, s in enumerate(strs):
-        if s:
-            M[k, : len(s)] = np.frombuffer(
-                s.encode("utf-32-le"), dtype=np.uint32
-            ).astype(np.int32)
+    width = max(maxlen, 1)
+    M = np.full((n, width), pad_val, dtype=np.int32)
+    total = int(lens.sum())
+    if total:
+        flat = np.frombuffer(
+            "".join(strs).encode("utf-32-le"), dtype=np.uint32
+        ).astype(np.int32)
+        starts = np.cumsum(lens) - lens
+        dest = (
+            np.repeat(np.arange(n, dtype=np.int64) * width - starts, lens)
+            + np.arange(total, dtype=np.int64)
+        )
+        M.ravel()[dest] = flat
     return M, lens
 
 

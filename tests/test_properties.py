@@ -143,10 +143,14 @@ class TestVectorizedPairKernels:
         st.lists(
             st.lists(st.integers(0, 2**20), max_size=12), min_size=1, max_size=10
         ),
+        st.sampled_from(["uint64", "uint32"]),
         st.data(),
     )
-    @settings(max_examples=60, deadline=None)
-    def test_pairwise_jaccard_matches_scalar(self, rows, data):
+    @settings(max_examples=80, deadline=None)
+    def test_pairwise_jaccard_matches_scalar(self, rows, dtype, data):
+        # uint64 exercises the per-run searchsorted fallback; uint32 the
+        # packed run-tagged global-searchsorted fast path (the hot
+        # mention token/shingle columns are uint32)
         import pyarrow as pa
 
         from pubmed_and_method_ray.stages.features import (
@@ -155,8 +159,11 @@ class TestVectorizedPairKernels:
             pairwise_jaccard,
         )
 
-        sets = [np.unique(np.array(r, dtype=np.uint64)) for r in rows]
-        col = pa.array([s.tolist() for s in sets], pa.list_(pa.uint64()))
+        sets = [np.unique(np.array(r, dtype=np.dtype(dtype))) for r in rows]
+        col = pa.array(
+            [s.tolist() for s in sets],
+            pa.list_(pa.uint64() if dtype == "uint64" else pa.uint32()),
+        )
         off, vals = _list_view(pa.table({"x": col})["x"])
         n_pairs = data.draw(st.integers(0, 12))
         li = np.array(
@@ -180,10 +187,13 @@ class TestVectorizedPairKernels:
             min_size=1,
             max_size=8,
         ),
+        st.sampled_from(["int64", "uint32"]),
         st.data(),
     )
-    @settings(max_examples=60, deadline=None)
-    def test_pairwise_sparse_dot_matches_scalar(self, rows, data):
+    @settings(max_examples=80, deadline=None)
+    def test_pairwise_sparse_dot_matches_scalar(self, rows, dtype, data):
+        # int64 exercises the per-run fallback; uint32 the packed
+        # fast path (the real tfidf_idx column is uint32)
         import pyarrow as pa
 
         from pubmed_and_method_ray.stages.features import (
@@ -195,10 +205,13 @@ class TestVectorizedPairKernels:
         idxs, ws = [], []
         for r in rows:
             d = dict(r)  # unique indices
-            ii = np.array(sorted(d), dtype=np.int64)
+            ii = np.array(sorted(d), dtype=np.dtype(dtype))
             idxs.append(ii)
             ws.append(np.array([d[i] for i in ii], dtype=np.float64))
-        icol = pa.array([x.tolist() for x in idxs], pa.list_(pa.int64()))
+        icol = pa.array(
+            [x.tolist() for x in idxs],
+            pa.list_(pa.int64() if dtype == "int64" else pa.uint32()),
+        )
         wcol = pa.array([x.tolist() for x in ws], pa.list_(pa.float64()))
         io, iv = _list_view(pa.table({"x": icol})["x"])
         wo, wv = _list_view(pa.table({"x": wcol})["x"])
