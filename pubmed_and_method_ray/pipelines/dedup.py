@@ -946,11 +946,28 @@ def dedup_embedding_cosine(sf_dir: str, threshold: float = 0.3, n_parts: int = 8
     broadcast; shuffle volume is P x input, work is the inherent O(n^2)
     of the exact operator (use dedup_minhash_lsh / ann_topk_lsh for the
     approximate web-scale path)."""
+    from ..rayutil import lpt_buckets, partition_reps
     from ..sources.io import read_parquet_clean
 
     dsz = read_parquet_clean(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
+
+    # exchange-placement plan (driver, deterministic): LPT-pack the
+    # C(P,2)+P triangle groups into the output partitions by matmul work
+    # (diagonal groups pair a partition with itself — half the work),
+    # then map each group's bucket to a hash-bijective representative so
+    # the keyed repartition lands it in exactly that block (raw grp ids
+    # collide mod num_blocks inside Ray's hash partitioner, idling
+    # workers during the matmul wave — see rayutil.partition_reps)
+    nblocks = shuffle_partitions()
+    used = [(a, b) for a in range(n_parts) for b in range(a, n_parts)]
+    wts = [0.5 if a == b else 1.0 for a, b in used]
+    reps = np.asarray(partition_reps(nblocks), dtype=np.int64)
+    gbuckets = reps[lpt_buckets(wts, nblocks)]
+    bucket_of_grp = np.zeros(n_parts * n_parts, dtype=np.int64)
+    for (a, b), v in zip(used, gbuckets):
+        bucket_of_grp[a * n_parts + b] = v
 
     def replicate(t: pa.Table) -> pa.Table:
         ids = np.asarray(t["vec_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
@@ -978,9 +995,11 @@ def dedup_embedding_cosine(sf_dir: str, threshold: float = 0.3, n_parts: int = 8
             pa.array(np.arange(0, (n + 1) * dim, dim, dtype=np.int32)),
             pa.array(V2.ravel(), pa.float64()),
         )
+        grp_all = np.concatenate(out_grp)
         return pa.Table.from_pydict(
             {
-                "grp": pa.array(np.concatenate(out_grp), pa.int32()),
+                "grp": pa.array(grp_all, pa.int32()),
+                "bucket": pa.array(bucket_of_grp[grp_all], pa.int32()),
                 "part": pa.array(np.concatenate(out_part), pa.int32()),
                 "vec_id": pa.array(np.concatenate(out_ids), pa.int64()),
                 "v": vlist,
@@ -1054,6 +1073,6 @@ def dedup_embedding_cosine(sf_dir: str, threshold: float = 0.3, n_parts: int = 8
 
     return (
         dsz.map_batches(replicate, batch_format="pyarrow")
-        .repartition(num_blocks=shuffle_partitions(), keys=["grp"])
+        .repartition(num_blocks=nblocks, keys=["bucket"])
         .map_batches(group_pairs, batch_format="pyarrow", batch_size=None)
     )

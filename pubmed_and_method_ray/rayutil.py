@@ -102,6 +102,74 @@ def known_size(ds) -> tuple[int | None, int | None]:
     return None, None
 
 
+def partition_reps(n: int) -> "tuple[int, ...]":
+    """Representative int32 values r[0..n-1] such that Ray 2.49's keyed
+    hash partitioner (``hash((pa.scalar(r_i, int32),)) % n``, see
+    ray/data/_internal/arrow_ops/transform_pyarrow.py:hash_partition)
+    sends logical bucket i to output partition i, 1:1.
+
+    Why: ``repartition(num_blocks=n, keys=["bucket"])`` hashes the
+    bucket VALUE, so consecutive 0..n-1 bucket ids collide mod n —
+    measured 27/32 non-empty output blocks on the pair exchange (5 idle
+    CPUs through the whole score wave, busiest merged block 1.87x the
+    mean). Remapping each bucket id to a representative whose hash
+    lands in a distinct partition restores exactly one work-packed
+    bucket per output block. pyarrow scalar hashes are value-derived
+    and cross-process stable (verified: identical across fresh
+    interpreters, unaffected by PYTHONHASHSEED), so the driver-side
+    probe predicts worker-side placement.
+
+    Correctness never depends on the 1:1 property — downstream bucket
+    tasks segment by (host, salt) and handle any mix of logical buckets
+    per block — so if a future Ray/pyarrow changes the hash, this
+    degrades to an arbitrary (current) distribution, not an error.
+    Missing reps past the probe cap fall back to identity."""
+    global _REPS_CACHE
+    hit = _REPS_CACHE.get(n)
+    if hit is not None:
+        return hit
+    import pyarrow as pa
+
+    rep: dict[int, int] = {}
+    v, cap = 0, max(4096, 64 * n)
+    while len(rep) < n and v < cap:
+        p = hash((pa.scalar(v, pa.int32()),)) % n
+        if p not in rep:
+            rep[p] = v
+        v += 1
+    out = tuple(rep.get(i, i) for i in range(n))
+    if len(_REPS_CACHE) > 64:
+        _REPS_CACHE.clear()
+    _REPS_CACHE[n] = out
+    return out
+
+
+_REPS_CACHE: dict = {}
+
+
+def lpt_buckets(weights, n_buckets: int):
+    """Longest-processing-time assignment of weighted items to
+    ``n_buckets`` bins (returns one bucket id per item, same order as
+    ``weights``): sort by weight descending, give each item to the
+    currently-lightest bin via a heap — O(G log B), max-load within 4/3
+    of optimal. Shared helper for work-packing small fixed group sets
+    (e.g. the embedding-cosine triangle groups) before a keyed
+    exchange."""
+    import heapq
+
+    import numpy as np
+
+    w = np.asarray(weights, dtype=np.float64)
+    out = np.zeros(len(w), dtype=np.int64)
+    heap = [(0.0, b) for b in range(n_buckets)]
+    heapq.heapify(heap)
+    for i in np.argsort(-w, kind="stable"):
+        load, b = heapq.heappop(heap)
+        out[i] = b
+        heapq.heappush(heap, (load + w[i], b))
+    return out
+
+
 def join_partitions(lo: int = 2, hi: int | None = None) -> int:
     """Partition count for ``Dataset.join``: ~cpus/2. Join aggregators
     are heavier actors than groupby's — measured on a 32-cpu node, a

@@ -408,6 +408,14 @@ def emit_pair_keys(
         packed = pack_keys[ppos_c] == hhs
         if packed.any():
             buckets = np.where(packed, pack_buckets[ppos_c], buckets)
+    # remap logical bucket ids to hash-bijective representatives so the
+    # keyed repartition lands exactly one work-packed bucket per output
+    # block (rayutil.partition_reps — the raw 0..n-1 ids collide mod n
+    # inside Ray's hash partitioner, idling CPUs through the score wave)
+    from ..rayutil import partition_reps
+
+    reps = np.asarray(partition_reps(n_buckets), dtype=np.int64)
+    buckets = reps[buckets]
     return out.append_column("bucket", pa.array(buckets, pa.int32()))
 
 

@@ -166,6 +166,50 @@ class TestPartitionScaling:
         assert got == _brute_force_pairs(mentions)
 
 
+class TestPartitionReps:
+    def test_reps_are_hash_bijective(self):
+        """partition_reps(n) must place logical bucket i in Ray's output
+        partition i under the exact hash the 2.49 keyed partitioner uses
+        (hash of the 1-tuple of the pyarrow int32 scalar, mod n). This
+        pins the optimization's contract — if a Ray/pyarrow upgrade
+        changes the hash, this test flags it (behavior degrades to an
+        arbitrary distribution, never to wrong results)."""
+        from pubmed_and_method_ray.rayutil import partition_reps
+
+        for n in (4, 32, 48, 257):
+            reps = partition_reps(n)
+            assert len(reps) == n
+            assert len(set(reps)) == n
+            for i, r in enumerate(reps):
+                assert hash((pa.scalar(r, pa.int32()),)) % n == i
+
+    def test_exchange_fills_every_output_block(self):
+        """With every logical bucket populated, the remapped keyed
+        repartition must yield exactly one NON-EMPTY block per bucket —
+        no idle CPUs during the score wave (pre-remap: raw 0..n-1 ids
+        collided mod n, measured 27/32 non-empty at bench scale)."""
+        import numpy as np
+        import ray
+
+        from pubmed_and_method_ray.rayutil import partition_reps
+
+        n = 12
+        reps = np.asarray(partition_reps(n), dtype=np.int64)
+        t = pa.table(
+            {
+                "x": pa.array(np.arange(10 * n), pa.int64()),
+                "bucket": pa.array(
+                    reps[np.arange(10 * n) % n], pa.int32()
+                ),
+            }
+        )
+        out = rd.from_arrow(t).repartition(num_blocks=n, keys=["bucket"])
+        sizes = [
+            ray.get(ref).num_rows for ref in out.to_arrow_refs()
+        ]
+        assert sorted(sizes) == [10] * n
+
+
 class TestHeavyHostPacking:
     def test_lpt_pack_balances_quadratic_work(self):
         import numpy as np
