@@ -79,3 +79,77 @@ def url_path(url: str) -> str:
     if not m:
         return url
     return url[m.end() :]
+
+
+# ---- vectorized batch extraction ------------------------------------------
+#
+# Arrow/RE2 fast path for the dominant web case: pure-ASCII documents with
+# no HTML entities. On such rows every step of extract_text/extract_title
+# has an exact RE2 equivalent (non-greedy quantifiers, (?is) flags and \b
+# agree between Python re and RE2 on ASCII; html.unescape is the identity
+# when no '&' is present; Python's \s on ASCII text is exactly
+# [ \t\n\r\f\v\x1c-\x1f], spelled explicitly below because RE2's \s is the
+# narrower [\t\n\f\r ]). Any row that is non-ASCII, contains '&', or is
+# not valid UTF-8 falls back to the scalar Python functions — so the
+# output is byte-identical BY CONSTRUCTION on every input
+# (tests/test_extract.py asserts on adversarial rows and the frozen
+# oracle).
+
+_WS_ASCII = "[ \\t\\n\\r\\f\\v\\x1c-\\x1f]"
+_RE2_COMMENT = "(?s)<!--.*?-->"
+_RE2_SCRIPT = f"(?si)<script\\b.*?</script{_WS_ASCII}*>"
+_RE2_STYLE = f"(?si)<style\\b.*?</style{_WS_ASCII}*>"
+_RE2_TAG = "<[^>]*>"
+_RE2_WS_RUN = f"{_WS_ASCII}+"
+_RE2_TITLE = f"(?si)<title[^>]*>(?P<t>.*?)</title{_WS_ASCII}*>"
+
+
+def extract_batch(htmls) -> "tuple[list[str], list[str]]":
+    """(texts, titles) for a pyarrow binary/string array of HTML payloads
+    — RE2 kernels for ASCII entity-free rows, scalar Python fallback for
+    the rest. Byte-identical to [extract_text(h)], [extract_title(h)]."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    arr = htmls.combine_chunks() if isinstance(htmls, pa.ChunkedArray) else htmls
+    n = len(arr)
+    if n == 0:
+        return [], []
+    is_str = pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type)
+    try:
+        s = arr if is_str else arr.cast(pa.large_string())
+    except pa.ArrowInvalid:
+        # invalid UTF-8 somewhere in the batch: scalar path for all rows
+        raw = arr.to_pylist()
+        return [extract_text(h) for h in raw], [extract_title(h) for h in raw]
+    s = pc.fill_null(s, "")
+    fast_mask = np.asarray(
+        pc.and_(pc.string_is_ascii(s), pc.invert(pc.match_substring(s, "&")))
+    )
+    texts: list = [None] * n
+    titles: list = [None] * n
+    if fast_mask.any():
+        idx = np.flatnonzero(fast_mask)
+        sub = s.take(pa.array(idx, pa.int64()))
+        x = pc.replace_substring_regex(sub, _RE2_COMMENT, " ")
+        x = pc.replace_substring_regex(x, _RE2_SCRIPT, " ")
+        x = pc.replace_substring_regex(x, _RE2_STYLE, " ")
+        x = pc.replace_substring_regex(x, _RE2_TAG, " ")
+        x = pc.replace_substring_regex(x, _RE2_WS_RUN, " ")
+        x = pc.utf8_trim(x, " ")
+        tt = pc.extract_regex(sub, _RE2_TITLE)
+        tt = pc.struct_field(tt, "t")
+        tt = pc.fill_null(tt, "")
+        tt = pc.utf8_trim(pc.replace_substring_regex(tt, _RE2_WS_RUN, " "), " ")
+        for i, tx, ti in zip(
+            idx.tolist(), x.to_pylist(), tt.to_pylist()
+        ):
+            texts[i] = tx
+            titles[i] = ti
+    if not fast_mask.all():
+        raw = arr.to_pylist()
+        for i in np.flatnonzero(~fast_mask).tolist():
+            texts[i] = extract_text(raw[i])
+            titles[i] = extract_title(raw[i])
+    return texts, titles

@@ -42,7 +42,7 @@ import math
 import numpy as np
 import pyarrow as pa
 
-from ..functions.hashing import hash64_array, splitmix64, stable_hash64
+from ..functions.hashing import fnv64_arrow, splitmix64, stable_hash64
 from ..rayutil import shuffle_partitions
 from ..functions.simhash import DEFAULT_BANDS as N_BANDS
 
@@ -50,15 +50,18 @@ from ..functions.simhash import DEFAULT_BANDS as N_BANDS
 
 def _host_hashes(batch: pa.Table) -> np.ndarray:
     """uint64 host hash per row — host strings are dictionary-encoded so
-    blake2b runs once per DISTINCT host per batch. 64-bit collisions
-    across hosts are ~2^-64 per pair — a collision merges two candidate
-    hosts (extra pairs the scorer rejects); it cannot drop pairs."""
+    the hash runs once per DISTINCT host per batch (vectorized
+    FNV+splitmix over the dictionary buffer, functions/hashing
+    fnv64_arrow — internal key, nothing external pins the values).
+    64-bit collisions across hosts are ~2^-64 per pair — a collision
+    merges two candidate hosts (extra pairs the scorer rejects); it
+    cannot drop pairs."""
     hcol = batch["host"]
     hcol = hcol.combine_chunks() if isinstance(hcol, pa.ChunkedArray) else hcol
     henc = hcol.dictionary_encode()
     if isinstance(henc, pa.ChunkedArray):
         henc = henc.combine_chunks()
-    dict_hashes = hash64_array(henc.dictionary.to_pylist(), seed=0x42)
+    dict_hashes = fnv64_arrow(henc.dictionary, seed=0x42)
     return dict_hashes[np.asarray(henc.indices)].astype(np.uint64)
 
 

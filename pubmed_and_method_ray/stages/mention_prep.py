@@ -18,7 +18,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..functions.extract import extract_text, extract_title, normalize_host, url_path
+from ..functions.extract import extract_batch, normalize_host, url_path
 from ..functions.simhash import DEFAULT_BANDS as N_BANDS
 from ..functions.simhash import simhash_from_hashes_segmented
 from ..functions.textkernels import tokenize
@@ -30,12 +30,12 @@ def extract_stage(batch: pa.Table) -> pa.Table:
     """html(binary) -> text_extracted/title/host/path columns.
 
     The byte-identical invariant stage (input_hint): pure function of the
-    html bytes, verified against the frozen oracle text per url.
-    """
-    htmls = batch["html"].to_pylist()
+    html bytes, verified against the frozen oracle text per url. Text and
+    title run through the RE2 batch kernel (functions/extract.py
+    extract_batch — ASCII entity-free rows vectorized, scalar Python
+    fallback otherwise, byte-identical by construction)."""
     urls = batch["url"].to_pylist()
-    texts = [extract_text(h) for h in htmls]
-    titles = [extract_title(h) for h in htmls]
+    texts, titles = extract_batch(batch["html"])
     hosts = [normalize_host(u) for u in urls]
     paths = [url_path(u) for u in urls]
     return (
@@ -249,6 +249,12 @@ def normalize_batch(batch: pa.Table, idf_ref=None) -> pa.Table:
     if isinstance(enc, pa.ChunkedArray):
         enc = enc.combine_chunks()
     if len(enc):
+        # blake2b once per DISTINCT token. NOT fnv64_arrow: token hashes
+        # feed the simhash whose band agreement drives blocking RECALL —
+        # swapping the hash function flips borderline band collisions
+        # (measured: 2 of 1012 fixture pages lost their gold cluster
+        # under FNV), and the frozen fixtures/model were validated under
+        # blake2b. Host keys (pure equality semantics) use the fast hash.
         dict_hashes = hash64_array(enc.dictionary.to_pylist(), seed=0x70)
         th = dict_hashes[np.asarray(enc.indices, dtype=np.int64)].astype(np.uint64)
     else:

@@ -50,6 +50,84 @@ class TestHostNormalization:
         assert url_path("https://x.org/a/b?c=1") == "/a/b?c=1"
 
 
+class TestExtractBatchParity:
+    """The RE2 batch kernel must be byte-identical to the scalar Python
+    extractor on EVERY input — fast-path rows (ASCII, no entities) and
+    every fallback trigger (entities, unicode, invalid utf-8)."""
+
+    ADVERSARIAL = [
+        b"<html><body><p>Hello   world</p></body></html>",
+        b"<p>a&amp;b &lt;c&gt;</p>",                      # entities -> fallback
+        b"<script>var x = '<p>no</p>';</script><b>keep</b>",
+        b"<SCRIPT>s</SCRIPT  >tail",                       # ws before '>'
+        b"<style>.a{}</style>text",
+        b"<!-- note\nmultiline --><i>x</i>",
+        b"",
+        b"   \t\n\x1c\x1d\x1e\x1f\x0b mixed \x1fws\t",     # python-\\s chars
+        b"<title> T1 </title><title>T2</title>body",       # first title wins
+        b"<title attr='x'>with\nnewline</title >x",
+        b"no tags at all",
+        b"<p>unclosed",
+        b"a<b>c" * 500,
+        "déjà vu <p>unicode</p>".encode(),                 # non-ascii -> fallback
+        "<title>café</title>body".encode(),
+        b"\xff\xfeinvalid utf8 <p>x</p>",                  # invalid -> batch fallback
+        b"&#65;&#x42; entities",
+        b"<scriptx>not a script</scriptx><script>real</script>after",
+    ]
+
+    def test_adversarial_parity(self):
+        from pubmed_and_method_ray.functions.extract import extract_batch
+
+        arr = pa.array(self.ADVERSARIAL, pa.binary())
+        texts, titles = extract_batch(arr)
+        for h, tx, ti in zip(self.ADVERSARIAL, texts, titles):
+            assert tx == extract_text(h), h
+            assert ti == extract_title(h), h
+
+    def test_mixed_batch_parity(self):
+        # fast and fallback rows interleaved in one batch keep row order
+        from pubmed_and_method_ray.functions.extract import extract_batch
+
+        rows = [
+            b"<p>plain ascii</p>",
+            "unicode   row".encode(),
+            b"<p>a&amp;b</p>",
+            b"<title>ok</title>rest",
+        ] * 5
+        arr = pa.array(rows, pa.binary())
+        texts, titles = extract_batch(arr)
+        assert texts == [extract_text(h) for h in rows]
+        assert titles == [extract_title(h) for h in rows]
+
+    def test_fuzz_parity(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from pubmed_and_method_ray.functions.extract import extract_batch
+
+        alphabet = st.sampled_from(
+            list("<>&/! -=ab\t\n\r\x0b\x1c\x1f")
+            + ["script", "style", "title", "--", "déjà", "&amp;"]
+        )
+
+        @given(
+            st.lists(
+                st.lists(alphabet, max_size=30).map("".join),
+                min_size=1,
+                max_size=12,
+            )
+        )
+        @settings(max_examples=120, deadline=None)
+        def check(rows):
+            raw = [r.encode("utf-8") for r in rows]
+            texts, titles = extract_batch(pa.array(raw, pa.binary()))
+            assert texts == [extract_text(h) for h in raw]
+            assert titles == [extract_title(h) for h in raw]
+
+        check()
+
+
 class TestByteIdenticalInvariant:
     """extract_text(render_html(...)) must equal the frozen oracle text,
     byte for byte, for every generated page."""

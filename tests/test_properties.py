@@ -92,6 +92,49 @@ class TestHashProperties:
         for s, h in zip(strings, arr):
             assert int(h) == stable_hash64(s, 9)
 
+    @given(
+        st.lists(
+            st.text(max_size=24),  # arbitrary unicode incl. empties
+            min_size=1,
+            max_size=30,
+        ),
+        st.integers(0, 2**32),
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_fnv64_arrow_matches_scalar(self, strings, seed):
+        # the length-sorted position-wise vectorization must agree with
+        # the byte-at-a-time scalar FNV on arbitrary unicode, empty
+        # strings and mixed lengths; seeds must decorrelate
+        import pyarrow as pa
+
+        from pubmed_and_method_ray.functions.hashing import fnv64, fnv64_arrow
+
+        arr = pa.array(strings, pa.string())
+        got = fnv64_arrow(arr, seed=seed)
+        for s, h in zip(strings, got):
+            assert int(h) == fnv64(s, seed=seed)
+        if any(strings):
+            other = fnv64_arrow(arr, seed=seed + 1)
+            assert not np.array_equal(got, other)
+
+    def test_fnv64_arrow_large_string_and_chunked(self):
+        import pyarrow as pa
+
+        from pubmed_and_method_ray.functions.hashing import fnv64, fnv64_arrow
+
+        strs = ["alpha", "", "日本語テキスト", "z" * 300]
+        for typ in (pa.string(), pa.large_string()):
+            arr = pa.array(strs, typ)
+            got = fnv64_arrow(arr, seed=3)
+            assert [int(h) for h in got] == [fnv64(s, 3) for s in strs]
+        chunked = pa.chunked_array([pa.array(strs[:2]), pa.array(strs[2:])])
+        got = fnv64_arrow(chunked, seed=3)
+        assert [int(h) for h in got] == [fnv64(s, 3) for s in strs]
+        # sliced array (nonzero offset) must hash the right rows
+        sl = pa.array(strs).slice(1)
+        got = fnv64_arrow(sl, seed=3)
+        assert [int(h) for h in got] == [fnv64(s, 3) for s in strs[1:]]
+
     @given(st.lists(st.text(alphabet="abcdef", min_size=1, max_size=6), min_size=1, max_size=25))
     @settings(max_examples=40, deadline=None)
     def test_simhash_band_reassembly(self, tokens):
