@@ -35,6 +35,32 @@ def _tune_aggregator_pool(cpus: int) -> None:
         pass
 
 
+def tune_data_context(cpus: int | None = None) -> None:
+    """One-stop DataContext tune (idempotent): the aggregator-pool cap
+    plus the read-op block floor. Ray's static 200-block read floor is
+    wrong in both directions: on a 32-cpu node it shreds a ~1 GB input
+    into 256 tiny blocks whose (blocks x partitions) per-shard aggregator
+    round-trips dominate hash-exchange wall — each push task ray.puts and
+    actor-submits one shard PER PARTITION and then blocks on the acks
+    (ray hash_shuffle.py `_shuffle_block`), so push overhead is
+    blocks x partitions; measured here: the keyed pair exchange runs
+    2-3x faster from 2-per-CPU blocks than from 200-floor blocks at
+    identical bytes (5.1-5.8 s vs 10.9-18.5 s, 400k pages / 1.2 GB /
+    32 partitions). On a 256-node cluster the same floor is too LOW —
+    200 blocks cannot feed 8192 cores. Floor = 2 blocks/CPU, which is
+    Ray's own `avail_cpus * 2` baseline; the bytes-driven
+    min_safe_parallelism (mem_size / target_max_block_size) still grows
+    block counts for big inputs, so the anti-OOM path is untouched."""
+    cpus = cluster_cpus() if cpus is None else cpus
+    _tune_aggregator_pool(cpus)
+    try:
+        from ray.data.context import DataContext
+
+        DataContext.get_current().read_op_min_num_blocks = max(2, 2 * cpus)
+    except Exception:  # pragma: no cover — older ray
+        pass
+
+
 def partition_ceiling(cpus: int) -> int:
     """Upper bound on exchange partition counts: scales with the CLUSTER,
     never a fixed constant. A hard 64-way cap (rounds 1-3) was tuned for
@@ -58,7 +84,7 @@ def shuffle_partitions(
     CPUs are knowable, unlike the import-time config in __init__.py)
     the aggregator pool cap is tuned to the cluster size."""
     cpus = cluster_cpus() if cpus is None else cpus
-    _tune_aggregator_pool(cpus)
+    tune_data_context(cpus)
     if hi is None:
         hi = partition_ceiling(cpus)
     return max(lo, min(hi, factor * cpus))

@@ -85,6 +85,14 @@ def read_parquet_clean(paths, *, columns=None, **kwargs) -> "rd.Dataset":
     that lives in the directory name, or schema drift across files)
     falls back to the strip-stage path, where Ray's reader unifies
     schemas per file instead of forcing the first footer's."""
+    from ..rayutil import tune_data_context
+
+    # Every pipeline reads through here, so this is the one place the
+    # cluster-sized read-block floor (rayutil.tune_data_context) is
+    # guaranteed to be set before the read op is planned. Pre-init the
+    # fallback cpus may undershoot, which is harmless: Ray's own
+    # avail_cpus*2 baseline re-floors parallelism at execution time.
+    tune_data_context()
     if "schema" not in kwargs:
         probed = _probe_schema(paths)
         if probed is not None:

@@ -109,10 +109,10 @@ def n_pair_buckets(
     partitions 29.2s vs 96 partitions 31.6s: per-partition banding/dedup
     overhead and the extra finalize round-trips outweigh straggler
     packing (per-partition UDF skew is only ~1.5x mean)."""
-    from ..rayutil import _tune_aggregator_pool, cluster_cpus
+    from ..rayutil import tune_data_context, cluster_cpus
 
     cpus = cluster_cpus() if cpus is None else cpus
-    _tune_aggregator_pool(cpus)
+    tune_data_context(cpus)
     n = max(4, cpus)
     if n_bytes is not None:
         n = max(n, math.ceil(n_bytes / PAIR_BUCKET_BYTES))
