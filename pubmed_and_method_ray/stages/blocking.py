@@ -95,25 +95,30 @@ def n_pair_buckets(
     n_bytes: int | None = None,
     cpus: int | None = None,
 ) -> int:
-    """Hash-exchange partition count for pair generation: one per CPU,
+    """Hash-exchange partition count for pair generation: TWO per CPU,
     grown past that when the (known) input volume would otherwise
     overfill a partition block.
 
-    Tuning history matters here: with Ray's default aggregator
-    reservation (0.25 logical CPU x partitions held for the exchange
-    lifetime), TWO partitions per CPU measured faster — but that "win"
-    was mostly the reservation artifact itself being masked by better
-    task packing. With the engine's 0.05-per-partition override
-    (pubmed_and_method_ray/__init__.py), interleaved trials on the same
-    199,826-page input at 32 cpus measure 32 partitions min 20.8s vs 64
-    partitions 29.2s vs 96 partitions 31.6s: per-partition banding/dedup
-    overhead and the extra finalize round-trips outweigh straggler
-    packing (per-partition UDF skew is only ~1.5x mean)."""
+    Tuning history matters here — this constant has flipped twice, each
+    time because a FIXED overhead proportional to partition count was
+    masking the packing benefit of finer buckets: (1) with Ray's default
+    aggregator reservation (0.25 logical CPU x partitions held for the
+    exchange lifetime) two-per-CPU looked best; (2) with the engine's
+    0.05-per-partition override, one-per-CPU measured best (32 parts
+    20.8s vs 64 at 29.2s at 32 cpus) — but that run predated the
+    read-block-floor fix, so push overhead (input blocks x partitions
+    actor round-trips) still grew linearly with partition count; (3)
+    with 2-per-CPU input blocks, interleaved paired rounds on the same
+    399,714-page input measure 64 partitions at-or-faster than 32 in
+    every round at 32 cpus (paired walls 16.0/20.4, 14.2/15.3,
+    20.0/19.6, 12.1/17.6, 12.9/18.8 — median 1.27x) and 16 at-or-faster
+    than 8 at 8 cpus: finer buckets pack the score wave's skewed tasks
+    better, and the per-partition cost is now small enough to pay."""
     from ..rayutil import tune_data_context, cluster_cpus
 
     cpus = cluster_cpus() if cpus is None else cpus
     tune_data_context(cpus)
-    n = max(4, cpus)
+    n = max(4, 2 * cpus)
     if n_bytes is not None:
         n = max(n, math.ceil(n_bytes / PAIR_BUCKET_BYTES))
     elif n_rows is not None:

@@ -129,17 +129,18 @@ class TestPartitionScaling:
             n_pair_buckets,
         )
 
-        # small-box behavior unchanged
+        # small-box behavior: two pair buckets per CPU (measured — see
+        # n_pair_buckets docstring tuning history)
         assert shuffle_partitions(cpus=32) == 32
-        assert n_pair_buckets(cpus=32) == 32
+        assert n_pair_buckets(cpus=32) == 64
         # big simulated clusters blow straight past 64
         assert shuffle_partitions(cpus=1024) == 1024
         assert shuffle_partitions(factor=2, cpus=4096) == 8192
-        assert n_pair_buckets(cpus=2048) == 2048
+        assert n_pair_buckets(cpus=2048) == 4096
         # data-aware: known volume grows buckets past the CPU count so a
         # partition block stays bounded at ~PAIR_BUCKET_BYTES
         assert n_pair_buckets(cpus=32, n_bytes=PAIR_BUCKET_BYTES * 100) == 100
-        assert n_pair_buckets(cpus=32, n_bytes=1 << 20) == 32
+        assert n_pair_buckets(cpus=32, n_bytes=1 << 20) == 64
 
     def test_sized_partitions_bytes_target(self):
         from pubmed_and_method_ray.rayutil import sized_partitions
