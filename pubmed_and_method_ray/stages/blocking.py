@@ -89,6 +89,14 @@ def _bands_matrix(group: pa.Table) -> np.ndarray:
 # constant (a 64-way cap would mean ~1.6 TB/partition at 100 TB).
 PAIR_BUCKET_BYTES = 128 << 20
 
+# rows-aware refinement between the [cpus, 2*cpus] clamp: interleaved
+# paired rounds measured 64 buckets best at ~400k mentions and 32 best
+# at ~200k on 32 cpus — finer buckets pack the skewed score wave
+# better, but only once each bucket carries enough work to amortize its
+# fixed banding/dedup cost. ~6k mentions/bucket splits those measured
+# operating points.
+PAIR_ROWS_PER_BUCKET = 6_000
+
 
 def n_pair_buckets(
     n_rows: int | None = None,
@@ -113,12 +121,20 @@ def n_pair_buckets(
     every round at 32 cpus (paired walls 16.0/20.4, 14.2/15.3,
     20.0/19.6, 12.1/17.6, 12.9/18.8 — median 1.27x) and 16 at-or-faster
     than 8 at 8 cpus: finer buckets pack the score wave's skewed tasks
-    better, and the per-partition cost is now small enough to pay."""
+    better, and the per-partition cost is now small enough to pay.
+    At HALF that input (199,826 pages) the same interleaved A/B flips
+    (0.88x — each bucket no longer carries enough work to amortize its
+    fixed banding/dedup cost), so when the row count is knowable the
+    count interpolates at ~PAIR_ROWS_PER_BUCKET mentions/bucket inside
+    the [cpus, 2*cpus] clamp; unknown (lazy) inputs default to the
+    fine-grained end, which is also the memory-safer choice at scale."""
     from ..rayutil import tune_data_context, cluster_cpus
 
     cpus = cluster_cpus() if cpus is None else cpus
     tune_data_context(cpus)
     n = max(4, 2 * cpus)
+    if n_rows is not None:
+        n = min(n, max(4, cpus, math.ceil(n_rows / PAIR_ROWS_PER_BUCKET)))
     if n_bytes is not None:
         n = max(n, math.ceil(n_bytes / PAIR_BUCKET_BYTES))
     elif n_rows is not None:

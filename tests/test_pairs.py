@@ -141,6 +141,12 @@ class TestPartitionScaling:
         # partition block stays bounded at ~PAIR_BUCKET_BYTES
         assert n_pair_buckets(cpus=32, n_bytes=PAIR_BUCKET_BYTES * 100) == 100
         assert n_pair_buckets(cpus=32, n_bytes=1 << 20) == 64
+        # rows-aware interpolation inside the [cpus, 2*cpus] clamp
+        # (measured operating points: ~200k mentions -> ~cpus buckets,
+        # ~400k -> 2*cpus; tiny inputs floor at one per CPU)
+        assert n_pair_buckets(cpus=32, n_rows=199_826) == 34
+        assert n_pair_buckets(cpus=32, n_rows=399_714) == 64
+        assert n_pair_buckets(cpus=32, n_rows=1_210) == 32
 
     def test_sized_partitions_bytes_target(self):
         from pubmed_and_method_ray.rayutil import sized_partitions
