@@ -17,9 +17,12 @@ from ..rayutil import join_partitions, shuffle_partitions
 
 
 def _read(sf_dir: str, table: str, columns=None):
-    from ..sources.io import read_parquet_clean
+    """Relational-table read: bytes-aware block count (these queries
+    feed small tables straight into hash exchanges, where push cost is
+    blocks x partitions — see ``sources.io.sized_read_blocks``)."""
+    from ..sources.io import read_parquet_sized
 
-    return read_parquet_clean(f"{sf_dir}/{table}.parquet", columns=columns)
+    return read_parquet_sized(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
 def _from_pandas(g) -> pa.Table:

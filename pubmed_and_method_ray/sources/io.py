@@ -109,3 +109,86 @@ def read_parquet_clean(paths, *, columns=None, **kwargs) -> "rd.Dataset":
                 pass  # column not in the probed footer: strip-stage path
     ds = rd.read_parquet(paths, columns=columns, **kwargs)
     return ds.map_batches(strip_schema_metadata, batch_format="pyarrow")
+
+
+def _local_bytes(paths) -> "int | None":
+    """Total on-disk bytes of local parquet input(s); None when
+    inconclusive (glob, remote, unreadable)."""
+    import os
+
+    ps = list(paths) if isinstance(paths, (list, tuple)) else [paths]
+    total = 0
+    try:
+        for p in ps:
+            if not isinstance(p, str):
+                return None
+            if os.path.isdir(p):
+                inner = [
+                    os.path.join(p, f)
+                    for f in os.listdir(p)
+                    if f.endswith(".parquet")
+                ]
+                if not inner:
+                    return None
+                total += sum(os.path.getsize(f) for f in inner)
+            elif os.path.isfile(p):
+                total += os.path.getsize(p)
+            else:
+                return None
+        return total
+    except Exception:
+        return None
+
+
+def sized_read_blocks(
+    paths,
+    cpus: "int | None" = None,
+    bytes_per_block: int = 1 << 20,
+    max_block_bytes: int = 128 << 20,
+) -> "int | None":
+    """Bytes-aware read parallelism for exchange-bound relational reads.
+
+    The cluster-sized read floor (``tune_data_context``: 2 blocks/CPU)
+    is right for compute-heavy pipelines, but for small relational
+    tables feeding straight into a hash exchange it over-shreds: Ray's
+    hash-shuffle push cost is blocks x partitions actor round-trips, so
+    a 2 MB events table read as 64 blocks pays 64 x 32 shard pushes to
+    move 3 MB (measured: the tumbling-window groupby runs ~1.7x faster
+    from 8 blocks than from 64 at identical bytes — interleaved sweep in
+    BASELINE.md). Rule, scale-symmetric like ``rayutil.sized_partitions``:
+
+    - ~``bytes_per_block`` (1 MiB compressed) per block, so small tables
+      get few push tasks;
+    - floor cpus//4 so the read/push stage still parallelizes (blocks=2
+      measured ~2x SLOWER than 8 at 32 cpus — too few concurrent pushes);
+    - cap 2 blocks/CPU = the global read floor (never MORE shredding
+      than the default);
+    - anti-OOM: grows past the cap at ~``max_block_bytes`` per block, so
+      a 100 TB input can never be forced into 64 giant blocks.
+
+    Returns None (caller should not override) when input size is
+    unknowable — lazy/remote inputs keep Ray's own sizing.
+    """
+    import math
+
+    from ..rayutil import cluster_cpus
+
+    n_bytes = _local_bytes(paths)
+    if n_bytes is None or n_bytes <= 0:
+        return None
+    cpus = cluster_cpus() if cpus is None else cpus
+    lo = max(2, cpus // 4)
+    hi = max(2, 2 * cpus)
+    n = max(lo, min(hi, math.ceil(n_bytes / bytes_per_block)))
+    return max(n, math.ceil(n_bytes / max_block_bytes))
+
+
+def read_parquet_sized(paths, *, columns=None, **kwargs) -> "rd.Dataset":
+    """``read_parquet_clean`` with bytes-aware block count (see
+    ``sized_read_blocks``) for small exchange-bound relational reads.
+    Callers that pass an explicit ``override_num_blocks`` win."""
+    if "override_num_blocks" not in kwargs:
+        n = sized_read_blocks(paths)
+        if n is not None:
+            kwargs["override_num_blocks"] = n
+    return read_parquet_clean(paths, columns=columns, **kwargs)

@@ -409,3 +409,63 @@ class TestAnnIndexedAtRest:
         got = ann_topk_ivf_indexed(sf).to_pandas().reset_index(drop=True)
         want = ann_topk_ivf(sf).to_pandas().reset_index(drop=True)
         assert got.equals(want)
+
+
+class TestSizedReadBlocks:
+    """Bytes-aware read parallelism for exchange-bound relational reads
+    (sources.io.sized_read_blocks): push cost in Ray's hash shuffle is
+    blocks x partitions, so tiny tables must not be shredded to the
+    2-blocks/CPU floor, while huge inputs must still grow block counts
+    (anti-OOM)."""
+
+    def test_small_table_floors_at_quarter_cpus(self):
+        from pubmed_and_method_ray.sources.io import sized_read_blocks
+
+        # 2 MB events table at 32 cpus: ceil(2MB/1MiB)=2 -> floor cpus//4
+        n = sized_read_blocks("/root/testdata/sf0.001/events.parquet", cpus=32)
+        assert n == 8
+
+    def test_medium_table_scales_with_bytes(self):
+        from pubmed_and_method_ray.sources.io import sized_read_blocks
+
+        n = sized_read_blocks(
+            "/root/testdata/sf0.001/events.parquet",
+            cpus=32,
+            bytes_per_block=256,
+        )
+        # bytes/256B far exceeds 2*cpus: capped at the global read floor
+        assert n == 64
+
+    def test_huge_input_grows_past_cap(self):
+        from pubmed_and_method_ray.sources.io import sized_read_blocks
+
+        # force the anti-OOM term: max_block_bytes of 256 B means even
+        # the cap cannot hold the block count down
+        n = sized_read_blocks(
+            "/root/testdata/sf0.001/events.parquet",
+            cpus=32,
+            max_block_bytes=256,
+        )
+        import os
+
+        sz = os.path.getsize("/root/testdata/sf0.001/events.parquet")
+        assert n == -(-sz // 256) and n > 64
+
+    def test_unknowable_returns_none(self):
+        from pubmed_and_method_ray.sources.io import sized_read_blocks
+
+        assert sized_read_blocks("/no/such/file.parquet") is None
+        assert sized_read_blocks(["/no/such/dir/"]) is None
+
+    def test_sized_read_matches_clean_read(self, ray_session):
+        from pubmed_and_method_ray.sources.io import (
+            read_parquet_clean,
+            read_parquet_sized,
+        )
+
+        src = "/root/testdata/sf0.001/events.parquet"
+        a = read_parquet_clean(src).to_pandas().sort_values("event_id")
+        b = read_parquet_sized(src).to_pandas().sort_values("event_id")
+        assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+        bl = read_parquet_sized(src).take_batch(5, batch_format="pyarrow")
+        assert bl.schema.metadata is None
