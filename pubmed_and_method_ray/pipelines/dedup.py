@@ -25,9 +25,12 @@ from ..rayutil import join_partitions, shuffle_partitions, sized_partitions
 
 
 def _read_documents(sf_dir: str, columns=None):
-    from ..sources.io import read_parquet_clean
+    """Documents read: bytes-aware block count (most dedup ops feed a
+    hash exchange, where push cost is blocks x partitions — see
+    ``sources.io.sized_read_blocks``)."""
+    from ..sources.io import read_parquet_sized
 
-    return read_parquet_clean(f"{sf_dir}/documents.parquet", columns=columns)
+    return read_parquet_sized(f"{sf_dir}/documents.parquet", columns=columns)
 
 
 # -- exact dedup (D2/D4 analog): hash-partition + per-group min ------------
@@ -947,9 +950,9 @@ def dedup_embedding_cosine(sf_dir: str, threshold: float = 0.3, n_parts: int = 8
     of the exact operator (use dedup_minhash_lsh / ann_topk_lsh for the
     approximate web-scale path)."""
     from ..rayutil import lpt_buckets, partition_reps
-    from ..sources.io import read_parquet_clean
+    from ..sources.io import read_parquet_sized
 
-    dsz = read_parquet_clean(
+    dsz = read_parquet_sized(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
 

@@ -10,7 +10,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from ..sources.io import read_parquet_clean
+from ..sources.io import read_parquet_clean, read_parquet_sized
 
 
 def _load_query_vec(sf_dir: str, query_vec_id: int) -> np.ndarray:
@@ -80,7 +80,7 @@ def ann_topk(sf_dir: str, query_vec_id: int = 0, k: int = 10):
                 }
             )
 
-    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = read_parquet_sized(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     return (
         ds.map_batches(Score, batch_format="pyarrow", batch_size=512, concurrency=(1, 4))
         .sort("cos_sim", descending=True)
@@ -133,7 +133,7 @@ def ann_topk_lsh(sf_dir: str, query_vec_id: int = 0, k: int = 10, n_planes: int 
                 }
             )
 
-    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = read_parquet_sized(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     return (
         ds.map_batches(BucketScore, batch_format="pyarrow", batch_size=512, concurrency=(1, 4))
         .sort("cos_sim", descending=True)
@@ -185,7 +185,7 @@ def build_lsh_index(
             "lsh_bucket", pa.array(sigs.astype(np.int32), pa.int32())
         )
 
-    read_parquet_clean(src, columns=["vec_id", "embedding"]).map_batches(
+    read_parquet_sized(src, columns=["vec_id", "embedding"]).map_batches(
         add_bucket, batch_format="pyarrow"
     ).write_parquet(out_dir, partition_cols=["lsh_bucket"])
     with open(marker, "w") as f:
@@ -325,7 +325,7 @@ def ann_topk_ivf(
     import ray
     import ray.data as rd
 
-    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = read_parquet_sized(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     q = _load_query_vec(sf_dir, query_vec_id)
     C = ivf_centroids(ds, n_lists, dim=len(q))
     qdots = np.round(C @ q, 9)
@@ -403,7 +403,7 @@ def build_ivf_index(
 
     first = pq.ParquetFile(src).read_row_group(0, columns=["embedding"])
     dim = len(first["embedding"][0].as_py())
-    ds = read_parquet_clean(src, columns=["vec_id", "embedding"])
+    ds = read_parquet_sized(src, columns=["vec_id", "embedding"])
     C = ivf_centroids(ds, n_lists, dim=dim)
     cref = ray.put(C)
 
@@ -552,5 +552,5 @@ def embedding_norms(sf_dir: str):
             {"vec_id": t["vec_id"], "l2_norm": pa.array(n, pa.float64())}
         )
 
-    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = read_parquet_sized(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     return ds.map_batches(norms, batch_format="pyarrow")

@@ -30,9 +30,11 @@ LANG_MARKERS = {
 
 
 def _read_documents(sf_dir: str, columns=None):
-    from ..sources.io import read_parquet_clean
+    """Documents read: bytes-aware block count (the sketch/groupby ops
+    here feed hash exchanges — see ``sources.io.sized_read_blocks``)."""
+    from ..sources.io import read_parquet_sized
 
-    return read_parquet_clean(f"{sf_dir}/documents.parquet", columns=columns)
+    return read_parquet_sized(f"{sf_dir}/documents.parquet", columns=columns)
 
 
 def _split_tokens(t: pa.Table, lower: bool = False):
