@@ -25,6 +25,17 @@ def _read(sf_dir: str, table: str, columns=None):
     return read_parquet_sized(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
+def _parts(sf_dir: str, *tables: str) -> int:
+    """Bytes/rows-aware exchange partition count from the query's source
+    tables (``sources.io.sized_table_partitions``): a 2 MB events table
+    does not need 32 aggregator actors — fixed per-aggregator overhead
+    dominates small exchanges, while the anti-OOM growth term still
+    scales partition counts for 100 TB inputs."""
+    from ..sources.io import sized_table_partitions
+
+    return sized_table_partitions([f"{sf_dir}/{t}.parquet" for t in tables])
+
+
 def _from_pandas(g) -> pa.Table:
     """``pa.Table.from_pandas`` without the ``b'pandas'`` schema metadata
     it attaches: a schema carrying ANY metadata dict is unhashable, and
@@ -87,7 +98,7 @@ def pricing_summary(sf_dir: str):
         ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"],
     ).map_batches(partial, batch_format="pyarrow")
 
-    agg = partials.groupby(["l_returnflag", "l_linestatus"], num_partitions=shuffle_partitions()).aggregate(
+    agg = partials.groupby(["l_returnflag", "l_linestatus"], num_partitions=_parts(sf_dir, "lineitem")).aggregate(
         Sum("sum_qty_c", alias_name="sum_qty_c"),
         Sum("sum_base_c", alias_name="sum_base_c"),
         Sum("sum_disc_c", alias_name="sum_disc_c"),
@@ -215,7 +226,7 @@ def _revenue_by_nation_join(sf_dir: str, cust_ds, nat_map: dict):
 
     agg = (
         per_cust.map_batches(attach, batch_format="pyarrow")
-        .groupby("n_name", num_partitions=shuffle_partitions())
+        .groupby("n_name", num_partitions=_parts(sf_dir, "lineitem", "orders", "customer"))
         .aggregate(Sum("rev_c", alias_name="rev_c"))
     )
     return agg.map_batches(_rev_c_to_revenue, batch_format="pyarrow")
@@ -281,7 +292,7 @@ def revenue_by_nation(sf_dir: str, broadcast_max_rows: int = 5_000_000):
     )
     agg = (
         joined.map_batches(attach_nation, batch_format="pyarrow")
-        .groupby("n_name", num_partitions=shuffle_partitions())
+        .groupby("n_name", num_partitions=_parts(sf_dir, "lineitem", "orders", "customer"))
         .aggregate(Sum("rev_c", alias_name="rev_c"))
     )
     return agg.map_batches(_rev_c_to_revenue, batch_format="pyarrow")
@@ -349,7 +360,7 @@ def events_hour_window(sf_dir: str):
     agg = (
         _read(sf_dir, "events", ["ts", "user_id", "value"])
         .map_batches(bucket_partial, batch_format="pyarrow")
-        .groupby(["user_id", "hour_bucket"], num_partitions=shuffle_partitions())
+        .groupby(["user_id", "hour_bucket"], num_partitions=_parts(sf_dir, "events"))
         .aggregate(
             Sum("n_events", alias_name="n_events"),
             Sum("value_c", alias_name="value_c"),
@@ -404,7 +415,7 @@ def events_hopping_window(sf_dir: str, size_us: int = 3_600_000_000, hop_us: int
     agg = (
         _read(sf_dir, "events", ["ts", "user_id", "value"])
         .map_batches(window_partial, batch_format="pyarrow")
-        .groupby(["user_id", "window_start"], num_partitions=shuffle_partitions())
+        .groupby(["user_id", "window_start"], num_partitions=_parts(sf_dir, "events"))
         .aggregate(
             Sum("n_events", alias_name="n_events"),
             Sum("value_c", alias_name="value_c"),
@@ -431,7 +442,7 @@ def block_census_docs(sf_dir: str):
 
     return (
         _read(sf_dir, "documents", ["lang", "source"])
-        .groupby(["lang", "source"], num_partitions=shuffle_partitions())
+        .groupby(["lang", "source"], num_partitions=_parts(sf_dir, "documents"))
         .aggregate(Count(alias_name="n_docs"))
     )
 
@@ -494,7 +505,7 @@ def pair_gen_docs(sf_dir: str):
 
     return (
         _read(sf_dir, "documents", ["doc_id", "lang", "source"])
-        .groupby(["lang", "source"], num_partitions=shuffle_partitions())
+        .groupby(["lang", "source"], num_partitions=_parts(sf_dir, "documents"))
         .map_groups(pairs, batch_format="pyarrow")
     )
 
@@ -588,7 +599,7 @@ def join_order_priority_revenue(sf_dir: str):
         on=("o_orderkey",),
         num_partitions=join_partitions(),
     )
-    agg = joined.groupby("o_orderpriority", num_partitions=shuffle_partitions()).aggregate(
+    agg = joined.groupby("o_orderpriority", num_partitions=_parts(sf_dir, "lineitem", "orders")).aggregate(
         Sum("rev_c", alias_name="rev_c"),
     )
     return agg.map_batches(
@@ -635,7 +646,7 @@ def user_activity(sf_dir: str):
     per_type = (
         _read(sf_dir, "events", ["user_id", "event_type", "ts", "value"])
         .map_batches(partial, batch_format="pyarrow")
-        .groupby(["user_id", "event_type"], num_partitions=shuffle_partitions())
+        .groupby(["user_id", "event_type"], num_partitions=_parts(sf_dir, "events"))
         .aggregate(
             Sum("n", alias_name="n"),
             Min("min_ts", alias_name="min_ts"),
@@ -644,7 +655,7 @@ def user_activity(sf_dir: str):
         )
     )
     per_user = per_type.groupby(
-        "user_id", num_partitions=shuffle_partitions()
+        "user_id", num_partitions=_parts(sf_dir, "events")
     ).aggregate(
         Sum("n", alias_name="n_events"),
         Count(alias_name="n_event_types"),
@@ -713,7 +724,7 @@ def events_sessions(sf_dir: str, gap_us: int = 1_800_000_000):
 
     return (
         _read(sf_dir, "events", ["user_id", "ts"])
-        .repartition(num_blocks=shuffle_partitions(), keys=["user_id"])
+        .repartition(num_blocks=_parts(sf_dir, "events"), keys=["user_id"])
         .map_batches(sessions, batch_format="pyarrow", batch_size=None)
     )
 
@@ -786,7 +797,7 @@ def rank_docs(sf_dir: str):
             }
         )
 
-    return ds.groupby("n_chars", num_partitions=shuffle_partitions()).map_groups(
+    return ds.groupby("n_chars", num_partitions=_parts(sf_dir, "documents")).map_groups(
         rank_group, batch_format="pyarrow"
     )
 
@@ -822,7 +833,7 @@ def top_docs_per_block(sf_dir: str, k: int = 3):
 
     return (
         _read(sf_dir, "documents", ["doc_id", "lang", "source", "n_chars"])
-        .repartition(num_blocks=shuffle_partitions(), keys=["lang", "source"])
+        .repartition(num_blocks=_parts(sf_dir, "documents"), keys=["lang", "source"])
         .map_batches(topk, batch_format="pyarrow", batch_size=None)
     )
 
@@ -875,7 +886,7 @@ def events_lag_delta(sf_dir: str):
 
     return (
         _read(sf_dir, "events", ["user_id", "ts", "value"])
-        .repartition(num_blocks=shuffle_partitions(), keys=["user_id"])
+        .repartition(num_blocks=_parts(sf_dir, "events"), keys=["user_id"])
         .map_batches(lag, batch_format="pyarrow", batch_size=None)
     )
 
@@ -905,7 +916,7 @@ def event_value_median(sf_dir: str):
     hist = (
         _read(sf_dir, "events", ["event_type", "value"])
         .map_batches(hist_partial, batch_format="pyarrow")
-        .groupby(["event_type", "value_c"], num_partitions=shuffle_partitions())
+        .groupby(["event_type", "value_c"], num_partitions=_parts(sf_dir, "events"))
         .aggregate(Sum("n", alias_name="n"))
     )
 
@@ -936,7 +947,7 @@ def event_value_median(sf_dir: str):
         )
 
     return hist.repartition(
-        num_blocks=shuffle_partitions(), keys=["event_type"]
+        num_blocks=_parts(sf_dir, "events"), keys=["event_type"]
     ).map_batches(median_walk, batch_format="pyarrow", batch_size=None)
 
 
@@ -981,7 +992,7 @@ def title_repair(sf_dir: str):
 
     best = (
         keyed.map_batches(pack, batch_format="pyarrow")
-        .groupby("repair_key", num_partitions=shuffle_partitions())
+        .groupby("repair_key", num_partitions=_parts(sf_dir, "documents"))
         .aggregate(Max("packed", alias_name="packed"))
     )
 
@@ -1074,7 +1085,7 @@ def union_distinct_keys(sf_dir: str):
     )
     return (
         nat.union(reg)
-        .groupby(["name", "kind"], num_partitions=shuffle_partitions())
+        .groupby(["name", "kind"], num_partitions=_parts(sf_dir, "nation", "region"))
         .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
     )
 
@@ -1195,7 +1206,7 @@ def bloom_semi_join(sf_dir: str, m_bits: int = 1 << 16, k: int = 3):
     pos_rows = (
         _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
         .map_batches(build_positions, batch_format="pyarrow")
-        .groupby("pos", num_partitions=shuffle_partitions())
+        .groupby("pos", num_partitions=_parts(sf_dir, "orders"))
         .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
         .to_pandas()
     )

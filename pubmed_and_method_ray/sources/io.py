@@ -192,3 +192,49 @@ def read_parquet_sized(paths, *, columns=None, **kwargs) -> "rd.Dataset":
         if n is not None:
             kwargs["override_num_blocks"] = n
     return read_parquet_clean(paths, columns=columns, **kwargs)
+
+
+def sized_table_partitions(paths, cpus: "int | None" = None) -> int:
+    """Bytes/rows-aware hash-exchange partition count for queries over
+    local parquet tables of knowable size.
+
+    ``rayutil.shuffle_partitions()`` sizes exchanges at ~1/CPU, which is
+    right when the input fills the cluster but pays 32 aggregator-actor
+    startups (plus blocks x partitions push round-trips) to aggregate a
+    2 MB events table. Probe the parquet footers for exact rows + bytes
+    and delegate to ``rayutil.sized_partitions`` (its anti-OOM growth
+    term keeps 100 TB inputs safe), with a floor of cpus/4 matching the
+    sized-read floor — fewer aggregators than that starves concurrent
+    pushes. Unknowable inputs (remote, globs) keep the CPU-based count.
+    """
+    import os
+
+    from ..rayutil import cluster_cpus, shuffle_partitions, sized_partitions
+
+    ps = list(paths) if isinstance(paths, (list, tuple)) else [paths]
+    n_rows = 0
+    n_bytes = _local_bytes(ps)
+    if n_bytes is None:
+        return shuffle_partitions()
+    try:
+        import pyarrow.parquet as pq
+
+        for p in ps:
+            if os.path.isdir(p):
+                for f in os.listdir(p):
+                    if f.endswith(".parquet"):
+                        n_rows += pq.ParquetFile(
+                            os.path.join(p, f)
+                        ).metadata.num_rows
+            else:
+                n_rows += pq.ParquetFile(p).metadata.num_rows
+    except Exception:
+        return shuffle_partitions()
+    cpus = cluster_cpus() if cpus is None else cpus
+    return sized_partitions(
+        n_rows,
+        lo=max(2, cpus // 4),
+        hi=shuffle_partitions(),
+        n_bytes=n_bytes,
+        bytes_per_part=64 << 20,
+    )
