@@ -47,13 +47,15 @@ def dedup_exact(sf_dir: str):
             {"text_hash": pa.array(hashes, pa.string()), "doc_id": t["doc_id"]}
         )
 
-    from ray.data.aggregate import Min
+    from ..rayutil import sized_groupby_agg
+    from ..sources.io import _local_bytes
 
     ds = _read_documents(sf_dir, columns=["doc_id", "text"])
-    return (
-        ds.map_batches(add_hash, batch_format="pyarrow")
-        .groupby("text_hash", num_partitions=shuffle_partitions())
-        .aggregate(Min("doc_id", alias_name="doc_id"))
+    return sized_groupby_agg(
+        ds.map_batches(add_hash, batch_format="pyarrow"),
+        ["text_hash"],
+        [("doc_id", "min", "doc_id")],
+        n_bytes=_local_bytes(f"{sf_dir}/documents.parquet"),
     )
 
 
@@ -74,20 +76,21 @@ def pair_jaccard_docs(sf_dir: str, threshold: float | None = None, n_max: int = 
 
     import ray
 
-    from ray.data.aggregate import Count
-
     from ..functions.hashing import hash64_array
 
     ds = _read_documents(sf_dir, columns=["doc_id", "text", "lang", "source"])
 
     # block census: (lang, source) cardinality is bounded (langs x
     # sources), so the skew table is constant-sized driver state
-    census = (
-        _read_documents(sf_dir, columns=["lang", "source"])
-        .groupby(["lang", "source"], num_partitions=shuffle_partitions())
-        .aggregate(Count(alias_name="n"))
-        .to_pandas()
-    )
+    from ..rayutil import sized_groupby_agg
+    from ..sources.io import _local_bytes
+
+    census = sized_groupby_agg(
+        _read_documents(sf_dir, columns=["lang", "source"]),
+        ["lang", "source"],
+        [("", "count", "n")],
+        n_bytes=_local_bytes(f"{sf_dir}/documents.parquet"),
+    ).to_pandas()
     sizes = {
         (r.lang, r.source): int(r.n) for r in census.itertuples(index=False)
     }

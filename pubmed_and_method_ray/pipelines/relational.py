@@ -36,6 +36,25 @@ def _parts(sf_dir: str, *tables: str) -> int:
     return sized_table_partitions([f"{sf_dir}/{t}.parquet" for t in tables])
 
 
+def _agg(ds, keys, specs, sf_dir: str, *tables: str):
+    """Budget-guarded grouped aggregate over ``ds`` whose source tables
+    are knowable local parquet (``rayutil.sized_groupby_agg``): a driver
+    pyarrow group_by of the pre-aggregated partials when the sources are
+    small (the hash-aggregate exchange costs seconds of fixed actor
+    startup regardless of bytes), the sized distributed exchange
+    otherwise. Both paths are bit-identical (fixed-point aggregates)."""
+    from ..rayutil import sized_groupby_agg
+    from ..sources.io import _local_bytes
+
+    return sized_groupby_agg(
+        ds,
+        keys,
+        specs,
+        n_bytes=_local_bytes([f"{sf_dir}/{t}.parquet" for t in tables]),
+        num_partitions=_parts(sf_dir, *tables),
+    )
+
+
 def _from_pandas(g) -> pa.Table:
     """``pa.Table.from_pandas`` without the ``b'pandas'`` schema metadata
     it attaches: a schema carrying ANY metadata dict is unhashable, and
@@ -98,11 +117,17 @@ def pricing_summary(sf_dir: str):
         ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"],
     ).map_batches(partial, batch_format="pyarrow")
 
-    agg = partials.groupby(["l_returnflag", "l_linestatus"], num_partitions=_parts(sf_dir, "lineitem")).aggregate(
-        Sum("sum_qty_c", alias_name="sum_qty_c"),
-        Sum("sum_base_c", alias_name="sum_base_c"),
-        Sum("sum_disc_c", alias_name="sum_disc_c"),
-        Sum("n_rows", alias_name="n_rows"),
+    agg = _agg(
+        partials,
+        ["l_returnflag", "l_linestatus"],
+        [
+            ("sum_qty_c", "sum", "sum_qty_c"),
+            ("sum_base_c", "sum", "sum_base_c"),
+            ("sum_disc_c", "sum", "sum_disc_c"),
+            ("n_rows", "sum", "n_rows"),
+        ],
+        sf_dir,
+        "lineitem",
     )
 
     def finalize(t: pa.Table) -> pa.Table:
@@ -224,10 +249,14 @@ def _revenue_by_nation_join(sf_dir: str, cust_ds, nat_map: dict):
         )
         return _from_pandas(g)
 
-    agg = (
-        per_cust.map_batches(attach, batch_format="pyarrow")
-        .groupby("n_name", num_partitions=_parts(sf_dir, "lineitem", "orders", "customer"))
-        .aggregate(Sum("rev_c", alias_name="rev_c"))
+    agg = _agg(
+        per_cust.map_batches(attach, batch_format="pyarrow"),
+        ["n_name"],
+        [("rev_c", "sum", "rev_c")],
+        sf_dir,
+        "lineitem",
+        "orders",
+        "customer",
     )
     return agg.map_batches(_rev_c_to_revenue, batch_format="pyarrow")
 
@@ -290,10 +319,14 @@ def revenue_by_nation(sf_dir: str, broadcast_max_rows: int = 5_000_000):
         on=("o_orderkey",),
         num_partitions=join_partitions(),
     )
-    agg = (
-        joined.map_batches(attach_nation, batch_format="pyarrow")
-        .groupby("n_name", num_partitions=_parts(sf_dir, "lineitem", "orders", "customer"))
-        .aggregate(Sum("rev_c", alias_name="rev_c"))
+    agg = _agg(
+        joined.map_batches(attach_nation, batch_format="pyarrow"),
+        ["n_name"],
+        [("rev_c", "sum", "rev_c")],
+        sf_dir,
+        "lineitem",
+        "orders",
+        "customer",
     )
     return agg.map_batches(_rev_c_to_revenue, batch_format="pyarrow")
 
@@ -357,14 +390,14 @@ def events_hour_window(sf_dir: str):
 
     from ray.data.aggregate import Sum
 
-    agg = (
-        _read(sf_dir, "events", ["ts", "user_id", "value"])
-        .map_batches(bucket_partial, batch_format="pyarrow")
-        .groupby(["user_id", "hour_bucket"], num_partitions=_parts(sf_dir, "events"))
-        .aggregate(
-            Sum("n_events", alias_name="n_events"),
-            Sum("value_c", alias_name="value_c"),
-        )
+    agg = _agg(
+        _read(sf_dir, "events", ["ts", "user_id", "value"]).map_batches(
+            bucket_partial, batch_format="pyarrow"
+        ),
+        ["user_id", "hour_bucket"],
+        [("n_events", "sum", "n_events"), ("value_c", "sum", "value_c")],
+        sf_dir,
+        "events",
     )
     return agg.map_batches(
         lambda t: pa.Table.from_pydict(
@@ -412,14 +445,14 @@ def events_hopping_window(sf_dir: str, size_us: int = 3_600_000_000, hop_us: int
 
     from ray.data.aggregate import Sum
 
-    agg = (
-        _read(sf_dir, "events", ["ts", "user_id", "value"])
-        .map_batches(window_partial, batch_format="pyarrow")
-        .groupby(["user_id", "window_start"], num_partitions=_parts(sf_dir, "events"))
-        .aggregate(
-            Sum("n_events", alias_name="n_events"),
-            Sum("value_c", alias_name="value_c"),
-        )
+    agg = _agg(
+        _read(sf_dir, "events", ["ts", "user_id", "value"]).map_batches(
+            window_partial, batch_format="pyarrow"
+        ),
+        ["user_id", "window_start"],
+        [("n_events", "sum", "n_events"), ("value_c", "sum", "value_c")],
+        sf_dir,
+        "events",
     )
     return agg.map_batches(
         lambda t: pa.Table.from_pydict(
@@ -440,10 +473,12 @@ def block_census_docs(sf_dir: str):
     """Block-size census over (lang, source) — the commonness census A1."""
     from ray.data.aggregate import Count
 
-    return (
-        _read(sf_dir, "documents", ["lang", "source"])
-        .groupby(["lang", "source"], num_partitions=_parts(sf_dir, "documents"))
-        .aggregate(Count(alias_name="n_docs"))
+    return _agg(
+        _read(sf_dir, "documents", ["lang", "source"]),
+        ["lang", "source"],
+        [("", "count", "n_docs")],
+        sf_dir,
+        "documents",
     )
 
 
@@ -599,8 +634,13 @@ def join_order_priority_revenue(sf_dir: str):
         on=("o_orderkey",),
         num_partitions=join_partitions(),
     )
-    agg = joined.groupby("o_orderpriority", num_partitions=_parts(sf_dir, "lineitem", "orders")).aggregate(
-        Sum("rev_c", alias_name="rev_c"),
+    agg = _agg(
+        joined,
+        ["o_orderpriority"],
+        [("rev_c", "sum", "rev_c")],
+        sf_dir,
+        "lineitem",
+        "orders",
     )
     return agg.map_batches(
         lambda t: pa.Table.from_pydict(
@@ -643,25 +683,32 @@ def user_activity(sf_dir: str):
         )
         return _from_pandas(g)
 
-    per_type = (
-        _read(sf_dir, "events", ["user_id", "event_type", "ts", "value"])
-        .map_batches(partial, batch_format="pyarrow")
-        .groupby(["user_id", "event_type"], num_partitions=_parts(sf_dir, "events"))
-        .aggregate(
-            Sum("n", alias_name="n"),
-            Min("min_ts", alias_name="min_ts"),
-            Max("max_ts", alias_name="max_ts"),
-            Sum("value_c", alias_name="value_c"),
-        )
+    per_type = _agg(
+        _read(sf_dir, "events", ["user_id", "event_type", "ts", "value"]).map_batches(
+            partial, batch_format="pyarrow"
+        ),
+        ["user_id", "event_type"],
+        [
+            ("n", "sum", "n"),
+            ("min_ts", "min", "min_ts"),
+            ("max_ts", "max", "max_ts"),
+            ("value_c", "sum", "value_c"),
+        ],
+        sf_dir,
+        "events",
     )
-    per_user = per_type.groupby(
-        "user_id", num_partitions=_parts(sf_dir, "events")
-    ).aggregate(
-        Sum("n", alias_name="n_events"),
-        Count(alias_name="n_event_types"),
-        Min("min_ts", alias_name="first_ts"),
-        Max("max_ts", alias_name="last_ts"),
-        Sum("value_c", alias_name="value_c"),
+    per_user = _agg(
+        per_type,
+        ["user_id"],
+        [
+            ("n", "sum", "n_events"),
+            ("", "count", "n_event_types"),
+            ("min_ts", "min", "first_ts"),
+            ("max_ts", "max", "last_ts"),
+            ("value_c", "sum", "value_c"),
+        ],
+        sf_dir,
+        "events",
     )
     return per_user.map_batches(
         lambda t: pa.Table.from_pydict(
@@ -913,11 +960,14 @@ def event_value_median(sf_dir: str):
         g = g.rename(columns={"size": "n"})
         return _from_pandas(g)
 
-    hist = (
-        _read(sf_dir, "events", ["event_type", "value"])
-        .map_batches(hist_partial, batch_format="pyarrow")
-        .groupby(["event_type", "value_c"], num_partitions=_parts(sf_dir, "events"))
-        .aggregate(Sum("n", alias_name="n"))
+    hist = _agg(
+        _read(sf_dir, "events", ["event_type", "value"]).map_batches(
+            hist_partial, batch_format="pyarrow"
+        ),
+        ["event_type", "value_c"],
+        [("n", "sum", "n")],
+        sf_dir,
+        "events",
     )
 
     def median_walk(t: pa.Table) -> pa.Table:
@@ -990,10 +1040,12 @@ def title_repair(sf_dir: str):
             {"repair_key": t["repair_key"], "packed": pa.array(p, pa.int64())}
         )
 
-    best = (
-        keyed.map_batches(pack, batch_format="pyarrow")
-        .groupby("repair_key", num_partitions=_parts(sf_dir, "documents"))
-        .aggregate(Max("packed", alias_name="packed"))
+    best = _agg(
+        keyed.map_batches(pack, batch_format="pyarrow"),
+        ["repair_key"],
+        [("packed", "max", "packed")],
+        sf_dir,
+        "documents",
     )
 
     joined = keyed.join(
@@ -1083,10 +1135,8 @@ def union_distinct_keys(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
-    return (
-        nat.union(reg)
-        .groupby(["name", "kind"], num_partitions=_parts(sf_dir, "nation", "region"))
-        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+    return _agg(
+        nat.union(reg), ["name", "kind"], [], sf_dir, "nation", "region"
     )
 
 
@@ -1203,13 +1253,15 @@ def bloom_semi_join(sf_dir: str, m_bits: int = 1 << 16, k: int = 3):
         )
         return pa.table({"pos": pa.array(allp, pa.int64())})
 
-    pos_rows = (
-        _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
-        .map_batches(build_positions, batch_format="pyarrow")
-        .groupby("pos", num_partitions=_parts(sf_dir, "orders"))
-        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
-        .to_pandas()
-    )
+    pos_rows = _agg(
+        _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"]).map_batches(
+            build_positions, batch_format="pyarrow"
+        ),
+        ["pos"],
+        [],
+        sf_dir,
+        "orders",
+    ).to_pandas()
     bits = np.zeros(m_bits, dtype=bool)
     bits[pos_rows["pos"].to_numpy(dtype=np.int64)] = True
     ref = ray.put(bits)

@@ -315,7 +315,7 @@ def tag_entities(sf_dir: str):
     )
 
 
-def doc_keywords(sf_dir: str, top_k: int = 5):
+def doc_keywords(sf_dir: str, top_k: int = 5, small_budget_bytes: int = 32 << 20):
     """Per-doc top-k keywords by tf-idf (the MAUI keyword-extractor analog
     T3, /root/reference/Dependency-Feature/.../MauiExtractedKeywords.java:7-36),
     fully distributed — no driver-side vocabulary:
@@ -353,19 +353,15 @@ def doc_keywords(sf_dir: str, top_k: int = 5):
             }
         )
 
+    from ..rayutil import sized_groupby_agg
+    from ..sources.io import _local_bytes
+
     tf_ds = ds.map_batches(explode, batch_format="pyarrow")
-    df_ds = (
-        tf_ds.groupby("token", num_partitions=shuffle_partitions())
-        .aggregate(Count(alias_name="df"))
-    )
-    joined = tf_ds.join(
-        df_ds,
-        join_type="inner",
-        on=("token",),
-        num_partitions=join_partitions(),
-    )
+    n_bytes = _local_bytes(f"{sf_dir}/documents.parquet")
 
     def topk(t: pa.Table) -> pa.Table:
+        """Per-(doc-complete) batch tf-idf top-k. ``t`` must hold every
+        token row of each doc it contains and carry a ``df`` column."""
         import pandas as pd
 
         if t.num_rows == 0:
@@ -392,6 +388,41 @@ def doc_keywords(sf_dir: str, top_k: int = 5):
             }
         )
 
+    if n_bytes is not None and n_bytes <= small_budget_bytes:
+        # small-corpus path: DF table merges on the driver and BROADCASTS
+        # (ray.put once, searchsorted lookup per batch) — no join and no
+        # doc_id repartition at all, because explode's output batches are
+        # already doc-complete (each doc's rows come from exactly one
+        # input batch, contiguous)
+        import ray
+
+        dft = sized_groupby_agg(tf_ds, ["token"], [("", "count", "df")], driver=True)
+        pdf = dft.to_pandas().sort_values("token").reset_index(drop=True)
+        ref = ray.put(
+            (
+                pdf["token"].to_numpy(dtype=object),
+                pdf["df"].to_numpy(dtype=np.int64),
+            )
+        )
+
+        def attach_df_topk(t: pa.Table) -> pa.Table:
+            from ..stages.mention_prep import get_broadcast
+
+            vocab, dfs = get_broadcast(ref)
+            toks = t["token"].to_numpy(zero_copy_only=False)
+            idx = np.searchsorted(vocab, toks)
+            return topk(t.append_column("df", pa.array(dfs[idx], pa.int64())))
+
+        return tf_ds.map_batches(
+            attach_df_topk, batch_format="pyarrow", batch_size=None
+        )
+
+    joined = tf_ds.join(
+        sized_groupby_agg(tf_ds, ["token"], [("", "count", "df")], driver=False),
+        join_type="inner",
+        on=("token",),
+        num_partitions=join_partitions(),
+    )
     return joined.repartition(
         num_blocks=shuffle_partitions(), keys=["doc_id"]
     ).map_batches(topk, batch_format="pyarrow", batch_size=None)
@@ -577,13 +608,17 @@ def approx_distinct_tokens(sf_dir: str):
             }
         )
 
-    rows = (
-        _read_documents(sf_dir, ["text"])
-        .map_batches(partial, batch_format="pyarrow")
-        .groupby("bucket", num_partitions=shuffle_partitions())
-        .max("reg")
-        .to_pandas()
-    )
+    from ..rayutil import sized_groupby_agg
+    from ..sources.io import _local_bytes
+
+    rows = sized_groupby_agg(
+        _read_documents(sf_dir, ["text"]).map_batches(
+            partial, batch_format="pyarrow"
+        ),
+        ["bucket"],
+        [("reg", "max", "max(reg)")],
+        n_bytes=_local_bytes(f"{sf_dir}/documents.parquet"),
+    ).to_pandas()
     n_zero = HLL_M - len(rows)
     harmonic = n_zero * (1 << HLL_REG_CAP) + int(
         np.sum(1 << (HLL_REG_CAP - rows["max(reg)"].to_numpy(dtype=np.int64)))
@@ -656,12 +691,15 @@ def heavy_hitters_cms(sf_dir: str, k: int = 20):
         )
 
     docs = _read_documents(sf_dir, ["text"])
-    counters = (
-        docs.map_batches(partial_counters, batch_format="pyarrow")
-        .groupby(["row", "pos"], num_partitions=shuffle_partitions())
-        .sum("cnt")
-        .to_pandas()
-    )
+    from ..rayutil import sized_groupby_agg
+    from ..sources.io import _local_bytes
+
+    counters = sized_groupby_agg(
+        docs.map_batches(partial_counters, batch_format="pyarrow"),
+        ["row", "pos"],
+        [("cnt", "sum", "sum(cnt)")],
+        n_bytes=_local_bytes(f"{sf_dir}/documents.parquet"),
+    ).to_pandas()
     cms = np.zeros((CMS_D, CMS_W), dtype=np.int64)
     cms[
         counters["row"].to_numpy(dtype=np.int64),

@@ -206,3 +206,72 @@ def join_partitions(lo: int = 2, hi: int | None = None) -> int:
     if hi is None:
         hi = partition_ceiling(cpus)
     return max(lo, min(hi, cpus // 2))
+
+
+def sized_groupby_agg(
+    ds,
+    keys: "list[str]",
+    specs: "list[tuple[str, str]]",
+    *,
+    n_bytes: "int | None" = None,
+    num_partitions: "int | None" = None,
+    budget_bytes: int = 32 << 20,
+    driver: "bool | None" = None,
+):
+    """Budget-guarded grouped aggregate: driver merge for small knowable
+    inputs, hash-aggregate exchange otherwise (same auto/forced contract
+    as the skew census and canonical-CC driver paths).
+
+    Ray's hash-aggregate exchange has seconds of FIXED cost (aggregator
+    actor startup, push-barrier rounds, finalize trickle) regardless of
+    bytes — measured ~3 s to aggregate a 2 MB events table that a single
+    vectorized pyarrow group_by finishes in milliseconds. When the
+    query's source bytes are knowable (parquet footers) and under
+    ``budget_bytes`` (compressed), gather the per-batch PARTIALS (already
+    pre-aggregated upstream) and run one driver-side
+    ``pyarrow.TableGroupBy``; otherwise run the distributed exchange.
+    Only associative integer aggregates ride through here (the engine's
+    fixed-point convention), so both paths are bit-identical — asserted
+    by forced-path parity tests.
+
+    ``specs`` is ``[(col, fn, alias), ...]`` with fn in {sum, min, max,
+    count} (``count`` ignores ``col`` and counts rows). Empty ``specs``
+    = DISTINCT over key-only rows. ``driver`` forces a path
+    (tests/soaks).
+    """
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    if driver is None:
+        driver = n_bytes is not None and n_bytes <= budget_bytes
+    if driver:
+        tables = ray.get(ds.to_arrow_refs())
+        if not tables:
+            driver = False  # empty-plan edge: let Ray produce the schema
+    if not driver:
+        nparts = num_partitions or shuffle_partitions()
+        if not specs:
+            return ds.groupby(keys, num_partitions=nparts).map_groups(
+                lambda g: g.slice(0, 1), batch_format="pyarrow"
+            )
+        from ray.data.aggregate import Count, Max, Min, Sum
+
+        mk = {"sum": Sum, "min": Min, "max": Max}
+        aggs = [
+            Count(alias_name=alias)
+            if fn == "count"
+            else mk[fn](c, alias_name=alias)
+            for c, fn, alias in specs
+        ]
+        return ds.groupby(keys, num_partitions=nparts).aggregate(*aggs)
+
+    tbl = pa.concat_tables(tables, promote_options="default")
+    res = tbl.group_by(keys).aggregate(
+        [([], "count_all") if fn == "count" else (c, fn) for c, fn, _ in specs]
+    )
+    # pyarrow emits keys first, then "<col>_<fn>" / "count_all" in spec
+    # order — rename to the aliases (key-first order already matches
+    # Ray's groupby.aggregate)
+    res = res.rename_columns(list(keys) + [alias for _, _, alias in specs])
+    return rd.from_arrow(res)

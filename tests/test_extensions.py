@@ -469,3 +469,106 @@ class TestSizedReadBlocks:
         assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
         bl = read_parquet_sized(src).take_batch(5, batch_format="pyarrow")
         assert bl.schema.metadata is None
+
+
+class TestSizedGroupbyAgg:
+    """Budget-guarded grouped aggregate (rayutil.sized_groupby_agg):
+    the driver pyarrow merge and the distributed hash-aggregate exchange
+    must be row- and value-identical for every supported fn, and the
+    auto path must route on the byte budget."""
+
+    def _ds(self):
+        import pyarrow as pa
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "k": ["a", "b", "a", "c", "b", "a"],
+                    "k2": [1, 1, 2, 1, 1, 2],
+                    "v": [5, 2, 3, 4, 1, 9],
+                }
+            )
+        )
+
+    def test_forced_paths_identical_all_fns(self, ray_session):
+        from pubmed_and_method_ray.rayutil import sized_groupby_agg
+
+        specs = [
+            ("v", "sum", "v_sum"),
+            ("v", "min", "v_min"),
+            ("v", "max", "v_max"),
+            ("", "count", "n"),
+        ]
+        out = {}
+        for forced in (True, False):
+            df = (
+                sized_groupby_agg(
+                    self._ds(), ["k", "k2"], specs, driver=forced,
+                    num_partitions=2,
+                )
+                .to_pandas()
+                .sort_values(["k", "k2"])
+                .reset_index(drop=True)
+            )
+            out[forced] = df[sorted(df.columns)]
+        assert out[True].equals(out[False])
+        assert list(out[True]["n"]) == [1, 2, 2, 1]
+
+    def test_forced_paths_identical_distinct(self, ray_session):
+        from pubmed_and_method_ray.rayutil import sized_groupby_agg
+
+        outs = [
+            sized_groupby_agg(
+                self._ds().select_columns(["k", "k2"]), ["k", "k2"], [],
+                driver=forced, num_partitions=2,
+            )
+            .to_pandas()
+            .sort_values(["k", "k2"])
+            .reset_index(drop=True)
+            for forced in (True, False)
+        ]
+        assert outs[0].equals(outs[1]) and len(outs[0]) == 4
+
+    def test_auto_routes_on_budget(self, ray_session):
+        from pubmed_and_method_ray.rayutil import sized_groupby_agg
+
+        small = sized_groupby_agg(
+            self._ds(), ["k"], [("v", "sum", "s")], n_bytes=100
+        )
+        big = sized_groupby_agg(
+            self._ds(), ["k"], [("v", "sum", "s")], n_bytes=1 << 40,
+            num_partitions=2,
+        )
+        # driver path materializes eagerly to a single from_arrow block;
+        # the exchange path stays a lazy plan
+        from ray.data.dataset import MaterializedDataset
+
+        assert isinstance(small, MaterializedDataset)
+        assert not isinstance(big, MaterializedDataset)
+        a = small.to_pandas().sort_values("k").reset_index(drop=True)
+        b = big.to_pandas().sort_values("k").reset_index(drop=True)
+        assert a.equals(b)
+
+
+class TestDocKeywordsPaths:
+    """doc_keywords' broadcast-DF small path and join-based distributed
+    fallback (forced via small_budget_bytes=0) must be row-identical."""
+
+    def test_forced_paths_identical(self, ray_session):
+        from pubmed_and_method_ray.pipelines.text_analysis import doc_keywords
+
+        sf = "/root/testdata/sf0.001"
+        a = (
+            doc_keywords(sf)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        b = (
+            doc_keywords(sf, small_budget_bytes=0)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert len(a) == 500 and a.equals(b)
