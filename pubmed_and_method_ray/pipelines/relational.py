@@ -309,15 +309,18 @@ def revenue_by_nation(sf_dir: str, broadcast_max_rows: int = 5_000_000):
 
     from ray.data.aggregate import Sum
 
+    from ..rayutil import sized_broadcast_join
+    from ..sources.io import _local_bytes
+
     line = _read(
         sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"]
     ).map_batches(_line_rev_partial, batch_format="pyarrow")
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
-    joined = line.join(
+    joined = sized_broadcast_join(
+        line,
         orders,
-        join_type="inner",
-        on=("o_orderkey",),
-        num_partitions=join_partitions(),
+        "o_orderkey",
+        n_bytes=_local_bytes(f"{sf_dir}/orders.parquet"),
     )
     agg = _agg(
         joined.map_batches(attach_nation, batch_format="pyarrow"),
@@ -628,11 +631,14 @@ def join_order_priority_revenue(sf_dir: str):
             }
         )
 
-    joined = line.map_batches(prep, batch_format="pyarrow").join(
+    from ..rayutil import sized_broadcast_join
+    from ..sources.io import _local_bytes
+
+    joined = sized_broadcast_join(
+        line.map_batches(prep, batch_format="pyarrow"),
         orders,
-        join_type="inner",
-        on=("o_orderkey",),
-        num_partitions=join_partitions(),
+        "o_orderkey",
+        n_bytes=_local_bytes(f"{sf_dir}/orders.parquet"),
     )
     agg = _agg(
         joined,
@@ -1048,11 +1054,14 @@ def title_repair(sf_dir: str):
         "documents",
     )
 
-    joined = keyed.join(
+    from ..rayutil import sized_broadcast_join
+    from ..sources.io import _local_bytes
+
+    joined = sized_broadcast_join(
+        keyed,
         best,
-        join_type="inner",
-        on=("repair_key",),
-        num_partitions=join_partitions(),
+        "repair_key",
+        n_bytes=_local_bytes(f"{sf_dir}/documents.parquet"),
     )
 
     def finalize(t: pa.Table) -> pa.Table:

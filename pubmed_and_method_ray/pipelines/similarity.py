@@ -81,11 +81,39 @@ def ann_topk(sf_dir: str, query_vec_id: int = 0, k: int = 10):
             )
 
     ds = read_parquet_sized(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    return (
-        ds.map_batches(Score, batch_format="pyarrow", batch_size=512, concurrency=(1, 4))
-        .sort("cos_sim", descending=True)
-        .limit(k)
+    return _topk_tail(
+        ds.map_batches(Score, batch_format="pyarrow", batch_size=512, concurrency=(1, 4)),
+        k,
     )
+
+
+def _topk_tail(scored, k: int, col: str = "cos_sim"):
+    """Global top-k finale without a sort exchange: a per-batch local
+    argpartition pre-top-k bounds the survivors at k per block, then the
+    <= k x blocks rows gather to the driver for one argsort — the
+    classic distributed-top-k reduction (Ray's ``sort`` is a full
+    range-partition exchange; for a k-row result that is all overhead).
+    Scale-safe by construction: survivors are k x blocks regardless of
+    input rows."""
+    import ray
+    import ray.data as rd
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows > k:
+            c = t[col].to_numpy(zero_copy_only=False)
+            part = np.argpartition(-c, k)[:k]
+            t = t.take(pa.array(np.sort(part), pa.int64()))
+        return t
+
+    pruned = scored.map_batches(local_topk, batch_format="pyarrow")
+    tabs = [x for x in ray.get(pruned.to_arrow_refs()) if x.num_rows]
+    if not tabs:
+        return scored.limit(0)
+    t = pa.concat_tables(tabs, promote_options="default")
+    order = np.argsort(
+        -t[col].to_numpy(zero_copy_only=False), kind="stable"
+    )[:k]
+    return rd.from_arrow(t.take(pa.array(order, pa.int64())))
 
 
 def lsh_planes(n_planes: int = 8, dim: int = 64) -> np.ndarray:
@@ -134,10 +162,9 @@ def ann_topk_lsh(sf_dir: str, query_vec_id: int = 0, k: int = 10, n_planes: int 
             )
 
     ds = read_parquet_sized(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    return (
-        ds.map_batches(BucketScore, batch_format="pyarrow", batch_size=512, concurrency=(1, 4))
-        .sort("cos_sim", descending=True)
-        .limit(k)
+    return _topk_tail(
+        ds.map_batches(BucketScore, batch_format="pyarrow", batch_size=512, concurrency=(1, 4)),
+        k,
     )
 
 
@@ -261,10 +288,8 @@ def ann_topk_lsh_indexed(
         )
 
     ds = read_parquet_clean(paths, columns=["vec_id", "embedding"])
-    return (
-        ds.map_batches(score, batch_format="pyarrow", batch_size=512)
-        .sort("cos_sim", descending=True)
-        .limit(k)
+    return _topk_tail(
+        ds.map_batches(score, batch_format="pyarrow", batch_size=512), k
     )
 
 
@@ -361,10 +386,8 @@ def ann_topk_ivf(
             }
         )
 
-    return (
-        ds.map_batches(score, batch_format="pyarrow", batch_size=512)
-        .sort("cos_sim", descending=True)
-        .limit(k)
+    return _topk_tail(
+        ds.map_batches(score, batch_format="pyarrow", batch_size=512), k
     )
 
 
@@ -521,10 +544,8 @@ def ann_topk_ivf_indexed(
         )
 
     ds = read_parquet_clean(paths, columns=["vec_id", "embedding"])
-    return (
-        ds.map_batches(score, batch_format="pyarrow", batch_size=512)
-        .sort("cos_sim", descending=True)
-        .limit(k)
+    return _topk_tail(
+        ds.map_batches(score, batch_format="pyarrow", batch_size=512), k
     )
 
 

@@ -275,3 +275,75 @@ def sized_groupby_agg(
     # Ray's groupby.aggregate)
     res = res.rename_columns(list(keys) + [alias for _, _, alias in specs])
     return rd.from_arrow(res)
+
+
+def sized_broadcast_join(
+    left,
+    right,
+    on: str,
+    *,
+    n_bytes: "int | None" = None,
+    num_partitions: "int | None" = None,
+    budget_bytes: int = 32 << 20,
+    driver: "bool | None" = None,
+):
+    """Budget-guarded INNER join: broadcast-map when the right side is
+    small and unique-keyed, hash-exchange ``Dataset.join`` otherwise.
+
+    Ray 2.49's hash join pays two exchanges plus heavier aggregator
+    actors; for an N:1 join against a reference table of knowable small
+    size (compressed parquet bytes <= ``budget_bytes``) the engine
+    instead gathers the RIGHT side once, ``ray.put``s sorted key/value
+    arrays, and attaches the right columns with one vectorized
+    searchsorted per left batch — no shuffle at all, and the left side
+    keeps streaming. Falls back to ``Dataset.join`` when the size is
+    unknowable, over budget, or the right keys are not unique (the
+    broadcast lookup is single-match by construction).
+    """
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    if driver is None:
+        driver = n_bytes is not None and n_bytes <= budget_bytes
+    rt = None
+    if driver:
+        tabs = ray.get(right.to_arrow_refs())
+        rt = pa.concat_tables(tabs, promote_options="default") if tabs else None
+        if rt is None or rt.num_rows == 0:
+            driver = False
+        else:
+            keys = np.asarray(rt[on].to_numpy(zero_copy_only=False))
+            if len(np.unique(keys)) != len(keys):
+                driver = False  # dup keys: multiplicity needs a real join
+    if not driver:
+        return left.join(
+            right,
+            join_type="inner",
+            on=(on,),
+            num_partitions=num_partitions or join_partitions(),
+        )
+
+    order = np.argsort(keys, kind="stable")
+    skeys = keys[order]
+    other_cols = [c for c in rt.column_names if c != on]
+    payload = {c: rt[c].combine_chunks().take(pa.array(order)) for c in other_cols}
+    ref = ray.put((skeys, payload))
+
+    def attach(t: pa.Table) -> pa.Table:
+        from .stages.mention_prep import get_broadcast
+
+        sk, pay = get_broadcast(ref)
+        k = np.asarray(t[on].to_numpy(zero_copy_only=False))
+        idx = np.searchsorted(sk, k)
+        idx_c = np.minimum(idx, len(sk) - 1)
+        hit = sk[idx_c] == k
+        if not hit.all():
+            t = t.filter(pa.array(hit))
+            idx_c = idx_c[hit]
+        take = pa.array(idx_c, pa.int64())
+        for c in other_cols:
+            t = t.append_column(c, pay[c].take(take))
+        return t
+
+    return left.map_batches(attach, batch_format="pyarrow")

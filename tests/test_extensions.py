@@ -572,3 +572,56 @@ class TestDocKeywordsPaths:
             .reset_index(drop=True)
         )
         assert len(a) == 500 and a.equals(b)
+
+
+class TestSizedBroadcastJoin:
+    """Budget-guarded broadcast inner join (rayutil.sized_broadcast_join):
+    the searchsorted broadcast path and Dataset.join must agree, misses
+    must drop, and duplicate right keys must fall back to the real join."""
+
+    def _sides(self):
+        import pyarrow as pa
+        import ray.data as rd
+
+        left = rd.from_arrow(
+            pa.table({"k": [1, 2, 3, 4, 2], "lv": [10, 20, 30, 40, 21]})
+        )
+        right = rd.from_arrow(pa.table({"k": [2, 3, 9], "rv": ["b", "c", "z"]}))
+        return left, right
+
+    def test_forced_paths_identical(self, ray_session):
+        from pubmed_and_method_ray.rayutil import sized_broadcast_join
+
+        left, right = self._sides()
+        outs = []
+        for forced in (True, False):
+            df = (
+                sized_broadcast_join(
+                    left, right, "k", driver=forced, num_partitions=2
+                )
+                .to_pandas()
+                .sort_values(["k", "lv"])
+                .reset_index(drop=True)
+            )
+            outs.append(df[sorted(df.columns)])
+        assert outs[0].equals(outs[1])
+        # inner semantics: k=1,4 dropped; k=2 matches twice on the left
+        assert list(outs[0]["k"]) == [2, 2, 3]
+
+    def test_duplicate_right_keys_fall_back(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from pubmed_and_method_ray.rayutil import sized_broadcast_join
+
+        left = rd.from_arrow(pa.table({"k": [1, 2], "lv": [10, 20]}))
+        right = rd.from_arrow(pa.table({"k": [2, 2], "rv": ["x", "y"]}))
+        out = (
+            sized_broadcast_join(left, right, "k", driver=True, num_partitions=2)
+            .to_pandas()
+            .sort_values(["k", "rv"])
+            .reset_index(drop=True)
+        )
+        # multiplicity preserved: the dup-key right side forces the real
+        # join, which emits BOTH matches for k=2
+        assert list(out["rv"]) == ["x", "y"]
