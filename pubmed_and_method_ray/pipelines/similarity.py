@@ -88,15 +88,14 @@ def ann_topk(sf_dir: str, query_vec_id: int = 0, k: int = 10):
 
 
 def _topk_tail(scored, k: int, col: str = "cos_sim"):
-    """Global top-k finale without a sort exchange: a per-batch local
-    argpartition pre-top-k bounds the survivors at k per block, then the
-    <= k x blocks rows gather to the driver for one argsort — the
-    classic distributed-top-k reduction (Ray's ``sort`` is a full
-    range-partition exchange; for a k-row result that is all overhead).
-    Scale-safe by construction: survivors are k x blocks regardless of
-    input rows."""
-    import ray
-    import ray.data as rd
+    """Global top-k finale: a per-batch local argpartition pre-top-k
+    bounds the sort exchange's input at k rows per block — the classic
+    distributed-top-k reduction. The final ``sort`` then ranges over
+    <= k x blocks survivors instead of every scored row, so its exchange
+    stays bounded regardless of input scale. (A driver-gather variant
+    via ``to_arrow_refs`` measured ~0.8 s SLOWER per run interleaved at
+    sf0.1 — the blocking materialize costs more than the tiny sort —
+    and the lazy single-execution pipeline keeps streaming semantics.)"""
 
     def local_topk(t: pa.Table) -> pa.Table:
         if t.num_rows > k:
@@ -105,15 +104,11 @@ def _topk_tail(scored, k: int, col: str = "cos_sim"):
             t = t.take(pa.array(np.sort(part), pa.int64()))
         return t
 
-    pruned = scored.map_batches(local_topk, batch_format="pyarrow")
-    tabs = [x for x in ray.get(pruned.to_arrow_refs()) if x.num_rows]
-    if not tabs:
-        return scored.limit(0)
-    t = pa.concat_tables(tabs, promote_options="default")
-    order = np.argsort(
-        -t[col].to_numpy(zero_copy_only=False), kind="stable"
-    )[:k]
-    return rd.from_arrow(t.take(pa.array(order, pa.int64())))
+    return (
+        scored.map_batches(local_topk, batch_format="pyarrow")
+        .sort(col, descending=True)
+        .limit(k)
+    )
 
 
 def lsh_planes(n_planes: int = 8, dim: int = 64) -> np.ndarray:
