@@ -683,6 +683,7 @@ def dedup_minhash_lsh(
     n_bands: int = 16,
     n_max: int = 4096,
     driver_max_pairs: int = 250_000,
+    band_driver_rows: int = 4_000_000,
 ):
     """MinHash-LSH near-dup over token 3-shingles ->
     (doc_id1, doc_id2, jaccard >= threshold), each verified pair once.
@@ -699,6 +700,16 @@ def dedup_minhash_lsh(
        via one broadcast-filtered gather and a single vectorized
        multi-pair jaccard; past the budget it falls back to a
        distributed groupby dedup + two hash joins against the sketches.
+
+    Small-input fast path (same contract as ``rayutil.sized_groupby_agg``
+    — forced-path parity tested): when the band table is driver-sized
+    (≤ ``band_driver_rows`` rows of (band_key, doc_id) ≈ 20 bytes each)
+    AND its estimated candidate count fits ``driver_max_pairs``, the
+    bucket grouping runs as ONE driver lexsort instead of the hash
+    repartition exchange — the exchange's fixed cost (aggregator actor
+    startup + push barrier) is seconds, far more than sorting a few MB.
+    Web-scale inputs exceed the row budget and take the exchange path
+    unchanged.
     """
     from ray.data.aggregate import Count
 
@@ -710,6 +721,45 @@ def dedup_minhash_lsh(
         concurrency=(1, 8),
     ).materialize()
     n_docs = sketched.count()
+
+    if n_docs * n_bands <= band_driver_rows:
+        bt = list(
+            sketched.map_batches(_explode_bands, batch_format="pyarrow")
+            .iter_batches(batch_format="pyarrow", batch_size=65536)
+        )
+        band_tab = (
+            pa.concat_tables(bt, promote_options="default").combine_chunks()
+            if bt
+            else None
+        )
+        sketches = sketched.select_columns(["doc_id", "sh"])
+        if band_tab is None or band_tab.num_rows == 0:
+            return _verify_pairs_driver(
+                np.empty((0, 2), np.int64), sketches, threshold
+            )
+        _, bounds, _ = _bucket_segments(band_tab)
+        sizes = np.diff(bounds)
+        est_pairs = int(np.sum(sizes * (sizes - 1) // 2))
+        if est_pairs <= driver_max_pairs:
+            ptab = _direct_bucket_pairs(band_tab, n_max=band_tab.num_rows)
+            pairs = (
+                np.unique(
+                    np.stack(
+                        [
+                            ptab["doc_id1"].to_numpy(zero_copy_only=False),
+                            ptab["doc_id2"].to_numpy(zero_copy_only=False),
+                        ],
+                        axis=1,
+                    ),
+                    axis=0,
+                )
+                if ptab.num_rows
+                else np.empty((0, 2), np.int64)
+            )
+            return _verify_pairs_driver(pairs, sketches, threshold)
+        # est_pairs over budget (mega-bucket in a small input): fall
+        # through to the salted exchange construction below.
+
     nparts = sized_partitions(n_docs * n_bands)
     repart = (
         sketched.map_batches(_explode_bands, batch_format="pyarrow")

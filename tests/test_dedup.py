@@ -155,7 +155,11 @@ class TestMinhashLsh:
             for i in range(n)
         ]
         sf = _write_docs(tmp_path, rows)
-        got = _got_pairs(dedup.dedup_minhash_lsh(sf, n_max=8))
+        # band_driver_rows=0 forces the exchange path (the driver band
+        # fast path would otherwise bypass salting entirely)
+        got = _got_pairs(
+            dedup.dedup_minhash_lsh(sf, n_max=8, band_driver_rows=0)
+        )
         want = sorted(
             (i, j, 1.0) for i in range(1, n + 1) for j in range(i + 1, n + 1)
         )
@@ -182,9 +186,35 @@ class TestMinhashLsh:
             )
         sf = _write_docs(tmp_path, rows)
         a = _got_pairs(dedup.dedup_minhash_lsh(sf))
-        b = _got_pairs(dedup.dedup_minhash_lsh(sf, n_max=2))
+        b = _got_pairs(
+            dedup.dedup_minhash_lsh(sf, n_max=2, band_driver_rows=0)
+        )
         assert a == b
         assert len(a) > 0
+
+    def test_driver_band_path_matches_exchange_path(self, ray_session, tmp_path):
+        """The driver band fast path (one lexsort instead of the hash
+        repartition) is a pure execution strategy: identical output to
+        the forced exchange construction, including the over-pair-budget
+        fall-through inside a small band table."""
+        rng = np.random.default_rng(31)
+        rows = []
+        for c in range(5):
+            base = [f"tok{c}_{k}" for k in range(20)]
+            for m in range(3):
+                toks = list(base)
+                if m:
+                    toks[m] = f"mut{c}_{m}"
+                rows.append({"doc_id": len(rows) + 1, "text": " ".join(toks)})
+        sf = _write_docs(tmp_path, rows)
+        a = _got_pairs(dedup.dedup_minhash_lsh(sf))  # driver band path
+        b = _got_pairs(dedup.dedup_minhash_lsh(sf, band_driver_rows=0))
+        assert a == b
+        assert len(a) > 0
+        # tiny pair budget: small band table but est_pairs over budget
+        # falls through to the exchange construction — same rows again
+        c = _got_pairs(dedup.dedup_minhash_lsh(sf, driver_max_pairs=0))
+        assert c == a
 
 
 class TestCanonicalDocs:
