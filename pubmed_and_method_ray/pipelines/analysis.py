@@ -70,7 +70,9 @@ def error_analysis(scored_df, feature_names: list[str], model=None, top_n: int =
     return out
 
 
-def external_id_baseline(sf_dir: str, expand_k: int = 3):
+def external_id_baseline(
+    sf_dir: str, expand_k: int = 3, driver: "bool | None" = None
+):
     """E5 — the external-ID trivial baseline
     (/root/reference/src/comparison/author_id_baseline.py:19-35): predict
     same_entity := same registry id, DROP pairs where either side's id is
@@ -84,11 +86,18 @@ def external_id_baseline(sf_dir: str, expand_k: int = 3):
     which corrupts the id to a neighboring entity ≈ 6%), so the whole
     baseline — including its imperfection — is SQL-checkable.
 
-    Distributed shape: registry lookup + unknown-filter per batch BEFORE
-    the one hash exchange on host; per-host confusion counts are computed
-    with chunked vectorized equality (bounded memory on mega-hosts) and
-    pre-aggregated to ONE row per host, so the final global sum is tiny.
-    Returns a one-row frame: counts + accuracy/precision/recall/f1.
+    Distributed shape: the pairwise confusion counts are pure functions
+    of (host, ent, rid) GROUP SIZES — tp = Σ C(m_her, 2), pred =
+    Σ C(m_hr, 2), gold = Σ C(m_he, 2), total = Σ C(n_h, 2) — so no pair
+    is ever enumerated: registry lookup + unknown-filter per batch, a
+    per-batch np.unique pre-aggregation to (host, ent, rid, cnt) rows,
+    then ONE budget-guarded grouped sum over unique triples
+    (``sized_groupby_agg``: driver merge when knowably small, hash
+    exchange otherwise). The exchange carries triple counts, not page
+    rows, and the count algebra is O(rows), not O(pairs) — at web scale
+    a mega-host costs the same as any other. Returns a one-row frame:
+    counts + accuracy/precision/recall/f1 (exact integers, identical to
+    the oracle's pairwise enumeration).
     """
     import hashlib
     import re
@@ -96,7 +105,7 @@ def external_id_baseline(sf_dir: str, expand_k: int = 3):
     import pandas as pd
     import pyarrow as pa
 
-    from ..rayutil import shuffle_partitions
+    from ..rayutil import known_size, shuffle_partitions, sized_groupby_agg
     from ..sources.pages import build_pages_dataset
 
     url_re = re.compile(r"site(\d+)\.example\.org/e(\d+)/")
@@ -120,40 +129,117 @@ def external_id_baseline(sf_dir: str, expand_k: int = 3):
             }
         )
 
-    def confusion(g: pa.Table) -> pa.Table:
-        ents = g["ent"].to_numpy(zero_copy_only=False)
-        rids = g["rid"].to_numpy(zero_copy_only=False)
-        n = len(ents)
-        tp = fp = fn = tn = 0
-        jj = np.arange(n)[None, :]
-        for i0 in range(0, n, 2048):  # bound n×chunk bool matrices
-            i1 = min(n, i0 + 2048)
-            upper = jj > np.arange(i0, i1)[:, None]  # canonical i < j
-            gold = (ents[i0:i1, None] == ents[None, :]) & upper
-            pred = (rids[i0:i1, None] == rids[None, :]) & upper
-            tp += int(np.sum(gold & pred))
-            fp += int(np.sum(~gold & pred & upper))
-            fn += int(np.sum(gold & ~pred))
-            tn += int(np.sum(~gold & ~pred & upper))
+    _EMPTY_TRIPLES = pa.table(
+        {
+            "host_id": pa.array([], pa.int64()),
+            "ent": pa.array([], pa.int64()),
+            "rid": pa.array([], pa.int64()),
+            "cnt": pa.array([], pa.int64()),
+        }
+    )
+
+    def triple_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _EMPTY_TRIPLES
+        trip = np.stack(
+            [
+                t["host_id"].to_numpy(zero_copy_only=False),
+                t["ent"].to_numpy(zero_copy_only=False),
+                t["rid"].to_numpy(zero_copy_only=False),
+            ],
+            axis=1,
+        )
+        uniq, cnt = np.unique(trip, axis=0, return_counts=True)
         return pa.table(
             {
-                "tp": pa.array([tp], pa.int64()),
-                "fp": pa.array([fp], pa.int64()),
-                "fn": pa.array([fn], pa.int64()),
-                "tn": pa.array([tn], pa.int64()),
+                "host_id": pa.array(uniq[:, 0], pa.int64()),
+                "ent": pa.array(uniq[:, 1], pa.int64()),
+                "rid": pa.array(uniq[:, 2], pa.int64()),
+                "cnt": pa.array(cnt.astype(np.int64), pa.int64()),
             }
         )
 
-    per_host = (
+    def pair_sums(h, e, r, c):
+        """(tp, pred, gold, total) pair counts from unique-triple counts
+        — C(m,2) sums over (h,e,r) / (h,r) / (h,e) / (h) group sizes.
+        Requires host-complete rows (all triples of a host present)."""
+        if len(c) == 0:
+            return 0, 0, 0, 0
+
+        def grp_pairs(*keys):
+            order = np.lexsort(tuple(reversed(keys)))
+            change = np.zeros(len(c), dtype=bool)
+            change[0] = True
+            for k in keys:
+                ks = k[order]
+                change[1:] |= ks[1:] != ks[:-1]
+            m = np.add.reduceat(c[order], np.nonzero(change)[0])
+            return int(np.sum(m * (m - 1) // 2))
+
+        tp = int(np.sum(c * (c - 1) // 2))
+        return tp, grp_pairs(h, r), grp_pairs(h, e), grp_pairs(h)
+
+    def _cols(t: pa.Table):
+        return (
+            t["host_id"].to_numpy(zero_copy_only=False),
+            t["ent"].to_numpy(zero_copy_only=False),
+            t["rid"].to_numpy(zero_copy_only=False),
+            t["cnt"].to_numpy(zero_copy_only=False),
+        )
+
+    partials = (
         build_pages_dataset(sf_dir, expand_k=expand_k)
         .select_columns(["url"])
         .map_batches(registry, batch_format="pyarrow")
-        .groupby("host_id", num_partitions=shuffle_partitions())
-        .map_groups(confusion, batch_format="pyarrow")
+        .map_batches(triple_partial, batch_format="pyarrow")
+        .materialize()
     )
-    sums = per_host.sum(["tp", "fp", "fn", "tn"])
-    tp, fp = sums["sum(tp)"], sums["sum(fp)"]
-    fn, tn = sums["sum(fn)"], sums["sum(tn)"]
+    _, n_bytes = known_size(partials)
+    driver_ok = (
+        (n_bytes is not None and n_bytes <= (32 << 20))
+        if driver is None
+        else driver
+    )
+    merged = sized_groupby_agg(
+        partials,
+        ["host_id", "ent", "rid"],
+        [("cnt", "sum", "cnt")],
+        n_bytes=n_bytes,
+        driver=driver_ok,
+    )
+    if driver_ok:
+        import ray
+
+        t = pa.concat_tables(
+            ray.get(merged.to_arrow_refs()), promote_options="default"
+        )
+        tp, pred, gold, total = pair_sums(*_cols(t))
+    else:
+        # host-keyed repartition co-locates each host's triples; one
+        # 4-count row per block, summed on the driver (<= #blocks rows)
+        def conf_batch(t: pa.Table) -> pa.Table:
+            a, b_, g_, n_ = pair_sums(*_cols(t))
+            return pa.table(
+                {
+                    "tp": pa.array([a], pa.int64()),
+                    "pred": pa.array([b_], pa.int64()),
+                    "gold": pa.array([g_], pa.int64()),
+                    "total": pa.array([n_], pa.int64()),
+                }
+            )
+
+        per = merged.repartition(
+            num_blocks=shuffle_partitions(), keys=["host_id"]
+        ).map_batches(conf_batch, batch_format="pyarrow", batch_size=None)
+        tp = pred = gold = total = 0
+        for b in per.iter_batches(batch_format="pyarrow", batch_size=None):
+            tp += int(np.sum(b["tp"].to_numpy(zero_copy_only=False)))
+            pred += int(np.sum(b["pred"].to_numpy(zero_copy_only=False)))
+            gold += int(np.sum(b["gold"].to_numpy(zero_copy_only=False)))
+            total += int(np.sum(b["total"].to_numpy(zero_copy_only=False)))
+    fp = pred - tp
+    fn = gold - tp
+    tn = total - tp - fp - fn
     n = tp + fp + fn + tn
     prec = tp / (tp + fp) if tp + fp else 0.0
     rec = tp / (tp + fn) if tp + fn else 0.0

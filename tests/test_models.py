@@ -149,3 +149,13 @@ class TestExternalIdBaseline:
         assert row.f1 == 2 * row.tp / (2 * row.tp + row.fp + row.fn)
         # hard negatives exist: within-host cross-entity pairs dominate
         assert row.tn > row.tp
+
+    def test_driver_vs_distributed_paths_identical(self):
+        """The count-algebra confusion (C(m,2) sums over triple counts)
+        must produce identical exact integers on the driver-merge and
+        forced-distributed (host-keyed exchange) paths."""
+        from pubmed_and_method_ray.pipelines.analysis import external_id_baseline
+
+        a = external_id_baseline("/root/testdata/sf0.001", driver=True)
+        b = external_id_baseline("/root/testdata/sf0.001", driver=False)
+        assert a.equals(b)
