@@ -70,6 +70,32 @@ def error_analysis(scored_df, feature_names: list[str], model=None, top_n: int =
     return out
 
 
+def pair_sums(h, e, r, c):
+    """(tp, pred, gold, total) within-host pair counts from UNIQUE
+    (host, ent, rid) triple counts — C(m,2) sums over (h,e,r) / (h,r) /
+    (h,e) / (h) group sizes. Exact-integer equivalent of enumerating
+    every within-host pair (tp: both sides equal; pred: rid equal;
+    gold: ent equal; total: all pairs) in O(rows log rows). Requires
+    host-complete rows (all triples of a host present)."""
+    h, e, r = np.asarray(h), np.asarray(e), np.asarray(r)
+    c = np.asarray(c, dtype=np.int64)
+    if len(c) == 0:
+        return 0, 0, 0, 0
+
+    def grp_pairs(*keys):
+        order = np.lexsort(tuple(reversed(keys)))
+        change = np.zeros(len(c), dtype=bool)
+        change[0] = True
+        for k in keys:
+            ks = k[order]
+            change[1:] |= ks[1:] != ks[:-1]
+        m = np.add.reduceat(c[order], np.nonzero(change)[0])
+        return int(np.sum(m * (m - 1) // 2))
+
+    tp = int(np.sum(c * (c - 1) // 2))
+    return tp, grp_pairs(h, r), grp_pairs(h, e), grp_pairs(h)
+
+
 def external_id_baseline(
     sf_dir: str, expand_k: int = 3, driver: "bool | None" = None
 ):
@@ -158,26 +184,6 @@ def external_id_baseline(
                 "cnt": pa.array(cnt.astype(np.int64), pa.int64()),
             }
         )
-
-    def pair_sums(h, e, r, c):
-        """(tp, pred, gold, total) pair counts from unique-triple counts
-        — C(m,2) sums over (h,e,r) / (h,r) / (h,e) / (h) group sizes.
-        Requires host-complete rows (all triples of a host present)."""
-        if len(c) == 0:
-            return 0, 0, 0, 0
-
-        def grp_pairs(*keys):
-            order = np.lexsort(tuple(reversed(keys)))
-            change = np.zeros(len(c), dtype=bool)
-            change[0] = True
-            for k in keys:
-                ks = k[order]
-                change[1:] |= ks[1:] != ks[:-1]
-            m = np.add.reduceat(c[order], np.nonzero(change)[0])
-            return int(np.sum(m * (m - 1) // 2))
-
-        tp = int(np.sum(c * (c - 1) // 2))
-        return tp, grp_pairs(h, r), grp_pairs(h, e), grp_pairs(h)
 
     def _cols(t: pa.Table):
         return (

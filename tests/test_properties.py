@@ -287,3 +287,44 @@ class TestVectorizedPairKernels:
         flat, lens = gather_list_rows(off, vals, np.array([0, 2], dtype=np.int64))
         assert flat.tolist() == [3, 4, 5, 6]
         assert lens.tolist() == [1, 3]
+
+
+class TestPairSumsProperty:
+    """pair_sums (count-algebra confusion, pipelines/analysis.py) must
+    equal brute-force enumeration of every within-host pair for ANY
+    multiset of (host, ent, rid) page rows."""
+
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(0, 3),  # host
+                st.integers(0, 4),  # ent
+                st.integers(0, 5),  # rid
+            ),
+            max_size=40,
+        )
+    )
+    @settings(max_examples=80, deadline=None)
+    def test_matches_bruteforce(self, rows):
+        from pubmed_and_method_ray.pipelines.analysis import pair_sums
+
+        arr = np.array(rows, dtype=np.int64).reshape(-1, 3)
+        uniq, cnt = (
+            np.unique(arr, axis=0, return_counts=True)
+            if len(arr)
+            else (np.empty((0, 3), np.int64), np.empty(0, np.int64))
+        )
+        got = pair_sums(uniq[:, 0], uniq[:, 1], uniq[:, 2], cnt)
+
+        tp = pred = gold = total = 0
+        for i in range(len(arr)):
+            for j in range(i + 1, len(arr)):
+                if arr[i, 0] != arr[j, 0]:
+                    continue
+                total += 1
+                ge = arr[i, 1] == arr[j, 1]
+                pr = arr[i, 2] == arr[j, 2]
+                tp += ge and pr
+                pred += pr
+                gold += ge
+        assert got == (tp, pred, gold, total)
