@@ -174,7 +174,21 @@ def _png_unfilter_row(ft: int, row: np.ndarray, prev: np.ndarray, bpp: int) -> n
 def decode_png(payload: bytes) -> np.ndarray:
     """PNG bytes -> (h, w, 3) uint8 RGB. Supports 8-bit depth, color
     types 2 (RGB) and 6 (RGBA — alpha dropped), non-interlaced, any mix
-    of the five scanline filters, multiple IDAT chunks."""
+    of the five scanline filters, multiple IDAT chunks.
+
+    Exception contract (untrusted 100-TB inputs hit actor pools — a
+    corrupt payload must fail with the DECLARED type, never an internal
+    zlib/struct leak): any malformed stream raises ``ValueError``;
+    well-formed-but-unsupported shapes raise ``NotImplementedError``."""
+    try:
+        return _decode_png_impl(payload)
+    except (ValueError, NotImplementedError):
+        raise
+    except (zlib.error, struct.error, IndexError, KeyError, OverflowError) as e:
+        raise ValueError(f"malformed PNG stream: {type(e).__name__}: {e}") from e
+
+
+def _decode_png_impl(payload: bytes) -> np.ndarray:
     if payload[:8] != _PNG_SIG:
         raise ValueError("not a PNG payload")
     pos, w = 8, None
@@ -531,7 +545,28 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     """Baseline JFIF bytes -> (h, w, 3) uint8 RGB. Supports baseline DCT
     (SOF0), 8-bit, 4:4:4 or grayscale, DRI/RST, multi-table DQT/DHT
     segments; tables come from the file. Progressive (SOF2) and chroma
-    subsampling raise NotImplementedError — declared boundary."""
+    subsampling raise NotImplementedError — declared boundary.
+
+    Exception contract (same as ``decode_png``): malformed/truncated
+    streams raise ``ValueError`` — internal huffman/bit-reader errors
+    (IndexError, KeyError, StopIteration, …) never escape the decoder,
+    so actor-pool stages over untrusted payloads can catch precisely."""
+    try:
+        return _decode_jpeg_impl(payload)
+    except (ValueError, NotImplementedError):
+        raise
+    except (
+        IndexError,
+        KeyError,
+        OverflowError,
+        StopIteration,
+        struct.error,
+        zlib.error,
+    ) as e:
+        raise ValueError(f"malformed JPEG stream: {type(e).__name__}: {e}") from e
+
+
+def _decode_jpeg_impl(payload: bytes) -> np.ndarray:
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     pos = 2
@@ -760,8 +795,12 @@ def mjpeg_avi_frames(payload: bytes) -> list:
     if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
         raise ValueError("not an AVI payload")
     frames: list = []
-
-    def walk(pos: int, end: int) -> None:
+    # iterative LIST-tree walk: a crafted payload can nest LIST chunks
+    # thousands deep (8 bytes buys a level), so recursion would hit
+    # RecursionError instead of the declared ValueError contract
+    stack = [(12, len(payload))]
+    while stack:
+        pos, end = stack.pop()
         while pos + 8 <= end:
             fourcc = payload[pos : pos + 4]
             size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
@@ -769,10 +808,10 @@ def mjpeg_avi_frames(payload: bytes) -> list:
             if body + size > len(payload):
                 raise ValueError("truncated AVI chunk")
             if fourcc == b"LIST":
-                walk(body + 4, body + size)
-            elif fourcc[2:4] == b"dc":
+                stack.append((body + size + (size & 1), end))
+                pos, end = body + 4, body + size
+                continue
+            if fourcc[2:4] == b"dc":
                 frames.append((body, bytes(payload[body : body + size])))
             pos = body + size + (size & 1)
-
-    walk(12, len(payload))
     return frames

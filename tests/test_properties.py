@@ -328,3 +328,82 @@ class TestPairSumsProperty:
                 pred += pr
                 gold += ge
         assert got == (tp, pred, gold, total)
+
+
+class TestDecoderExceptionContract:
+    """Every raster/container decoder is a boundary for UNTRUSTED bytes
+    (actor-pool stages decode arbitrary crawled payloads): malformed or
+    truncated input must fail with the DECLARED ValueError (or
+    NotImplementedError for recognized-but-unsupported shapes) — never
+    an internal IndexError/KeyError/zlib.error/struct.error/
+    RecursionError out of the decoding machinery (functions/raster.py
+    wrappers; the r4 ADVICE item generalized to all five formats)."""
+
+    @staticmethod
+    def _valids():
+        from pubmed_and_method_ray.functions import raster as R
+
+        px = (
+            np.arange(9 * 12 * 3, dtype=np.uint8).reshape(9, 12, 3) * 7 % 251
+        ).astype(np.uint8)
+        return {
+            "bmp": (R.encode_bmp(px), R.decode_bmp),
+            "png": (R.encode_png(px), R.decode_png),
+            "ppm": (R.encode_ppm(px), R.decode_ppm),
+            "jpeg": (R.encode_jpeg(px), R.decode_jpeg),
+            "avi": (R.encode_mjpeg_avi([px, px]), R.mjpeg_avi_frames),
+        }
+
+    @given(
+        fmt=st.sampled_from(["bmp", "png", "ppm", "jpeg", "avi"]),
+        data=st.data(),
+    )
+    @settings(max_examples=400, deadline=None)
+    def test_mutated_payloads_fail_with_declared_types(self, fmt, data):
+        base, decode = self._valids()[fmt]
+        b = bytearray(base)
+        if data.draw(st.booleans(), label="truncate"):
+            b = b[: data.draw(st.integers(0, len(b) - 1), label="cut")]
+        for _ in range(data.draw(st.integers(1, 5), label="flips")):
+            if not b:
+                break
+            i = data.draw(st.integers(0, len(b) - 1), label="pos")
+            b[i] = data.draw(st.integers(0, 255), label="byte")
+        try:
+            decode(bytes(b))
+        except (ValueError, NotImplementedError):
+            pass  # the declared contract
+
+    def test_deeply_nested_avi_list_no_recursion(self):
+        """5000 nested LISTs (8 bytes buys a level) must not hit
+        Python's recursion limit — the walker is iterative."""
+        from pubmed_and_method_ray.functions.raster import mjpeg_avi_frames
+
+        inner = b""
+        for _ in range(5000):
+            inner = b"LIST" + (len(inner) + 4).to_bytes(4, "little") + b"movi" + inner
+        deep = b"RIFF" + (len(inner) + 4).to_bytes(4, "little") + b"AVI " + inner
+        assert mjpeg_avi_frames(deep) == []
+
+    def test_avi_frame_order_and_offsets_preserved(self):
+        """The iterative walk keeps stream order and absolute offsets
+        (sampling stages key on them)."""
+        import numpy as _np
+
+        from pubmed_and_method_ray.functions.raster import (
+            decode_jpeg,
+            encode_mjpeg_avi,
+            mjpeg_avi_frames,
+        )
+
+        frames = [
+            _np.full((8, 8, 3), 30 * i, dtype=_np.uint8) for i in range(4)
+        ]
+        payload = encode_mjpeg_avi(frames)
+        got = mjpeg_avi_frames(payload)
+        assert len(got) == 4
+        offs = [o for o, _ in got]
+        assert offs == sorted(offs)
+        for (off, jb), src in zip(got, frames):
+            assert payload[off : off + len(jb)] == jb
+            assert decode_jpeg(jb).shape == (8, 8, 3)
