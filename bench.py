@@ -71,9 +71,12 @@ def run_benchmarks() -> dict:
     n_pages = read_parquet_clean(pages_dir, file_extensions=["parquet"]).count()  # warm page cache
 
     model = load_pretrained_model_json()
-    # min of four timed trials: single-trial noise on this box is up to ±40%
+    # min of five timed trials: single-trial noise on this box is up to
+    # ±40% and contended windows can last 3-4 trials (r5g measured
+    # 61.7/20.9/17.6/21.9 on a HEAD that reads 7.2 s calm) — the fifth
+    # trial costs ~15 s and materially improves the min's robustness
     trials = []
-    for _ in range(int(os.environ.get("GRAFT_ER_TRIALS", "4"))):
+    for _ in range(int(os.environ.get("GRAFT_ER_TRIALS", "5"))):
         t0 = time.perf_counter()
         pages = read_parquet_clean(pages_dir, file_extensions=["parquet"])
         out = run_er_pipeline(
