@@ -29,11 +29,11 @@ from ..stages.cluster import assign_clusters
 from ..stages.features import FEATURE_NAMES, edges_from_scores, score_pairs
 from ..stages.mention_prep import extract_stage, fit_idf, normalize_batch
 
-PIPELINE_VERSION = "r1.0"
+PIPELINE_VERSION = "r2.0"  # r2.0: packed tfidf transport (tfidf_pk+norm)
 
 
 def prepare_mentions(pages_ds, use_tfidf: bool = True, idf_sample_mod: int = 1,
-                     idf=None):
+                     idf=None, return_idf: bool = False):
     """pages -> normalized mentions with similarity payloads. Pass a
     pretrained ``idf`` vector to skip the fitting pass (production path:
     the idf ships with the model in state/). Task-based stages: state
@@ -47,12 +47,16 @@ def prepare_mentions(pages_ds, use_tfidf: bool = True, idf_sample_mod: int = 1,
         if idf is None:
             idf, _ = fit_idf(extracted, sample_mod=idf_sample_mod)
         idf_ref = ray.put(idf)
-    return extracted.map_batches(
+    ds = extracted.map_batches(
         normalize_batch,
         fn_kwargs={"idf_ref": idf_ref},
         batch_format="pyarrow",
         batch_size=512,
     )
+    # ``return_idf``: the score stage recomputes tf-idf weights from the
+    # packed transport (features._unpack_tfidf) and needs the SAME idf —
+    # hand back the (possibly just-fitted) vector alongside the dataset.
+    return (ds, idf if use_tfidf else None) if return_idf else ds
 
 
 def train_pairwise_model(features_ds, seed: int = 42) -> str:
@@ -200,20 +204,22 @@ def run_er_pipeline(
             return persist(ds, name)
         return ds
 
-    mentions = persist(
-        prepare_mentions(
-            pages_ds,
-            use_tfidf=use_tfidf,
-            idf_sample_mod=idf_sample_mod,
-            idf=idf,
-        ),
-        "mentions",
+    import ray
+
+    mentions_lazy, idf_used = prepare_mentions(
+        pages_ds,
+        use_tfidf=use_tfidf,
+        idf_sample_mod=idf_sample_mod,
+        idf=idf,
+        return_idf=True,
     )
+    mentions = persist(mentions_lazy, "mentions")
+    # the fused score stage rebuilds tf-idf weights from the packed
+    # transport; broadcast the SAME idf the mentions were built with
+    idf_ref = ray.put(idf_used) if idf_used is not None else None
     # fused pair-gen + featurization: one hash shuffle, no wide pair rows
     if model_json is not None:
         # production path: scoring fused into the same bucket task
-        import ray
-
         scored = persist_if_reused(
             generate_pair_features(
                 mentions,
@@ -221,6 +227,7 @@ def run_er_pipeline(
                 keep_gold=keep_gold,
                 model_ref=ray.put(model_json),
                 prune_hamming=prune_hamming,
+                idf_ref=idf_ref,
             ),
             "scored",
         )
@@ -233,6 +240,7 @@ def run_er_pipeline(
                 n_max=n_max,
                 keep_gold=keep_gold,
                 prune_hamming=prune_hamming,
+                idf_ref=idf_ref,
             ),
             "features",
         )

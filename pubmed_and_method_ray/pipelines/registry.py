@@ -130,6 +130,7 @@ def _pair_features_factory(
     keep_gold: bool = True,
     model_ref=None,
     prune_hamming: int | None = None,
+    idf_ref=None,
     **kw,
 ):
     from ..stages.blocking import generate_pair_features
@@ -142,7 +143,8 @@ def _pair_features_factory(
             keep_gold=keep_gold,
             model_ref=model_ref,
             prune_hamming=prune_hamming,
+            idf_ref=idf_ref,
         ),
-        version="2",
+        version="3",
         params=(n_max, keep_gold, prune_hamming, model_ref is not None),
     )

@@ -151,8 +151,8 @@ PAYLOAD_COLS = [
     "simhash",
     "tok_hashes",
     "sh_hashes",
-    "tfidf_idx",
-    "tfidf_w",
+    "tfidf_pk",
+    "tfidf_norm",
 ]
 
 
@@ -615,6 +615,7 @@ def make_features_bucket(
     keep_gold: bool = True,
     model_ref=None,
     prune_hamming: int | None = None,
+    idf_ref=None,
 ) -> pa.Table:
     """Fused pair-gen + featurization (+ optional scoring): emits
     (url_1, url_2, label?, feature columns[, score]) directly from the
@@ -651,7 +652,18 @@ def make_features_bucket(
         if with_label:
             ents = np.asarray(group["entity_id"].to_pylist(), dtype=object)
             labels = (ents[left_idx] == ents[right_idx]).astype(np.int8)
-        out = features_from_indices(group, left_idx, right_idx, sizes, labels)
+        idf = None
+        if idf_ref is not None and "tfidf_pk" in group.column_names:
+            from .mention_prep import get_broadcast
+
+            idf = (
+                idf_ref
+                if isinstance(idf_ref, np.ndarray)
+                else get_broadcast(idf_ref)
+            )
+        out = features_from_indices(
+            group, left_idx, right_idx, sizes, labels, idf=idf
+        )
     if model_ref is not None:
         out = append_scores(out, model_from_ref(model_ref))
     return out
@@ -756,6 +768,7 @@ def generate_pair_features(
     keep_gold: bool = True,
     model_ref=None,
     prune_hamming: int | None = None,
+    idf_ref=None,
 ):
     """mentions -> per-pair FEATURE rows directly (fused pair-gen +
     featurize; wide pair payloads never materialize). With ``model_ref``
@@ -769,6 +782,7 @@ def generate_pair_features(
             keep_gold=keep_gold,
             model_ref=model_ref,
             prune_hamming=prune_hamming,
+            idf_ref=idf_ref,
         ),
         batch_format="pyarrow",
         batch_size=None,

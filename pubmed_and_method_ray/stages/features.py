@@ -86,6 +86,35 @@ def _list_view(col) -> tuple[np.ndarray, np.ndarray]:
     return off, vals
 
 
+def _unpack_tfidf(pk_col, norm_col, idf):
+    """(offsets, idx values, float32 weight values) from the packed
+    tfidf transport: ``tfidf_pk`` = idx | tf<<16 plus a per-doc float32
+    ``tfidf_norm``. Recomputes w = tf * idf[idx] / norm with the SAME
+    float32 ops and operand order as mention_prep built (and selected
+    top-k by), so the result is bit-identical to shipping the weights —
+    the exchange moves one uint32 list instead of idx + float32 w
+    (~26% of pair-exchange bytes) and the broadcast idf fills the
+    weights back in at the consumer."""
+    if idf is None:
+        raise ValueError(
+            "mentions carry packed tfidf (tfidf_pk); the consumer needs "
+            "the SAME idf vector that built them — pass idf/idf_ref"
+        )
+    off, pk = _list_view(pk_col)
+    pk = pk.astype(np.uint32, copy=False)
+    idx = pk & np.uint32(0xFFFF)
+    cnt = (pk >> np.uint32(16)).astype(np.int64)
+    idf32 = np.asarray(idf, dtype=np.float32)
+    w = cnt.astype(np.float32) * idf32[idx.astype(np.int64)]
+    narr = norm_col.combine_chunks() if isinstance(norm_col, pa.ChunkedArray) else norm_col
+    norms = np.asarray(narr.to_numpy(zero_copy_only=False), dtype=np.float32)
+    lens = np.diff(off).astype(np.int64)
+    nr = np.repeat(norms, lens)
+    pos = nr > 0
+    w[pos] = w[pos] / nr[pos]
+    return off, idx, w
+
+
 def gather_list_rows(off: np.ndarray, vals: np.ndarray, rows: np.ndarray):
     """Concatenated values of list rows ``rows`` plus per-row lengths —
     the flat gather that feeds the vectorized multi-pair kernels below.
@@ -238,6 +267,7 @@ def features_from_indices(
     ri: np.ndarray,
     block_size: np.ndarray,
     labels: np.ndarray | None,
+    idf: np.ndarray | None = None,
 ) -> pa.Table:
     """Feature vectors for pairs given as (left, right) row indices into a
     MENTION table — the fused pair-gen+featurize path. Wide per-pair
@@ -255,10 +285,11 @@ def features_from_indices(
     )
     to, tv = _list_view(mentions["tok_hashes"])
     so, sv = _list_view(mentions["sh_hashes"])
-    has_tfidf = "tfidf_idx" in mentions.column_names
+    has_tfidf = "tfidf_pk" in mentions.column_names
     if has_tfidf:
-        io_, iv = _list_view(mentions["tfidf_idx"])
-        wo, wv = _list_view(mentions["tfidf_w"])
+        io_, iv, wv = _unpack_tfidf(
+            mentions["tfidf_pk"], mentions["tfidf_norm"], idf
+        )
 
     # string kernels run ONCE per DISTINCT (string_a, string_b) pair via
     # dictionary encoding + np.unique, and each distinct pair goes
@@ -290,7 +321,7 @@ def features_from_indices(
     jac_tok = pairwise_jaccard(to, tv, li, to, tv, ri)
     jac_sh = pairwise_jaccard(so, sv, li, so, sv, ri)
     cos = (
-        pairwise_sparse_dot(io_, iv, wo, wv, li, io_, iv, wo, wv, ri)
+        pairwise_sparse_dot(io_, iv, io_, wv, li, io_, iv, io_, wv, ri)
         if has_tfidf
         else np.zeros(n)
     )
@@ -334,7 +365,23 @@ def empty_features(with_label: bool) -> pa.Table:
 
 
 class PairFeatures:
-    """Actor-pool stage: pairs-with-payloads -> numeric feature vector."""
+    """Actor-pool stage: pairs-with-payloads -> numeric feature vector.
+    ``idf_ref``: broadcast idf (ray.put ref or ndarray) — required when
+    the pair rows carry packed tfidf (tfidf_pk_1/2, see _unpack_tfidf)."""
+
+    def __init__(self, idf_ref=None):
+        self.idf_ref = idf_ref
+        self._idf = None
+
+    def _get_idf(self):
+        if self._idf is None and self.idf_ref is not None:
+            if isinstance(self.idf_ref, np.ndarray):
+                self._idf = self.idf_ref
+            else:
+                from .mention_prep import get_broadcast
+
+                self._idf = get_broadcast(self.idf_ref)
+        return self._idf
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -360,13 +407,16 @@ class PairFeatures:
         jac_tok = pairwise_jaccard(to1, tv1, rows, to2, tv2, rows)
         jac_sh = pairwise_jaccard(so1, sv1, rows, so2, sv2, rows)
 
-        if "tfidf_idx_1" in batch.column_names:
-            io1, iv1 = _list_view(batch["tfidf_idx_1"])
-            wo1, wv1 = _list_view(batch["tfidf_w_1"])
-            io2, iv2 = _list_view(batch["tfidf_idx_2"])
-            wo2, wv2 = _list_view(batch["tfidf_w_2"])
+        if "tfidf_pk_1" in batch.column_names:
+            idf = self._get_idf()
+            io1, iv1, wv1 = _unpack_tfidf(
+                batch["tfidf_pk_1"], batch["tfidf_norm_1"], idf
+            )
+            io2, iv2, wv2 = _unpack_tfidf(
+                batch["tfidf_pk_2"], batch["tfidf_norm_2"], idf
+            )
             cos = pairwise_sparse_dot(
-                io1, iv1, wo1, wv1, rows, io2, iv2, wo2, wv2, rows
+                io1, iv1, io1, wv1, rows, io2, iv2, io2, wv2, rows
             )
         else:
             cos = np.zeros(n)
@@ -469,9 +519,11 @@ class GBTScorer:
         return pa.Table.from_pydict(cols)
 
 
-def featurize_pairs(pairs_ds, concurrency=(1, 16), batch_size: int = 2048):
+def featurize_pairs(pairs_ds, concurrency=(1, 16), batch_size: int = 2048,
+                    idf_ref=None):
     return pairs_ds.map_batches(
         PairFeatures,
+        fn_constructor_kwargs={"idf_ref": idf_ref},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,

@@ -315,27 +315,31 @@ def normalize_batch(batch: pa.Table, idf_ref=None) -> pa.Table:
         u_idx32 = (ku & ((1 << 17) - 1)).astype(np.uint32)
         u_lens = np.bincount(u_doc, minlength=n_docs)
         u_offs = np.concatenate([[0], np.cumsum(u_lens)]).astype(np.int64)
+        # tf saturates at 2^16-1 so the count rides in tfidf_pk's upper
+        # 16 bits (idx < N_FEATURES = 2^16 fills the lower 16): mentions
+        # ship ONE uint32 list + a float32 norm instead of idx + float
+        # weights (~26% of the pair-exchange bytes), and consumers
+        # recompute w = tf*idf[idx]/norm bit-exactly from the broadcast
+        # idf (features._unpack_tfidf — same float32 ops, same order).
+        run_counts = np.minimum(run_counts, 0xFFFF)
         w_all = run_counts.astype(np.float32) * idf[u_idx32.astype(np.int64)]
-        tfidf_idx, tfidf_w = [], []
+        tfidf_pk: list[np.ndarray] = []
+        tfidf_norm = np.zeros(n_docs, dtype=np.float32)
         empty_u = np.empty(0, np.uint32)
-        empty_w = np.empty(0, np.float32)
         for i in range(n_docs):
             s, e = u_offs[i], u_offs[i + 1]
             if s == e:
-                tfidf_idx.append(empty_u)
-                tfidf_w.append(empty_w)
+                tfidf_pk.append(empty_u)
                 continue
             uniq = u_idx32[s:e]
             w = w_all[s:e]
+            cnt = run_counts[s:e]
             if len(uniq) > TFIDF_TOP_K:
                 keep = np.argpartition(-w, TFIDF_TOP_K)[:TFIDF_TOP_K]
                 keep.sort()  # back to ascending index order
-                uniq, w = uniq[keep], w[keep]
-            norm = float(np.sqrt((w * w).sum()))
-            if norm > 0:
-                w = w / norm
-            tfidf_idx.append(uniq)
-            tfidf_w.append(w)
+                uniq, w, cnt = uniq[keep], w[keep], cnt[keep]
+            tfidf_norm[i] = np.float32(float(np.sqrt((w * w).sum())))
+            tfidf_pk.append(uniq | (cnt.astype(np.uint32) << np.uint32(16)))
 
     def _offs_list(lens: np.ndarray, vals: np.ndarray, typ) -> pa.ListArray:
         o = np.zeros(n_docs + 1, dtype=np.int32)
@@ -351,8 +355,8 @@ def normalize_batch(batch: pa.Table, idf_ref=None) -> pa.Table:
         pa.array(bm.reshape(-1), pa.uint64()), N_BANDS
     ).cast(pa.list_(pa.uint64(), N_BANDS))
     if idf is not None:
-        ti_arr = _list_array(tfidf_idx, pa.uint32())
-        tw_arr = _list_array(tfidf_w, pa.float32())
+        ti_arr = _list_array(tfidf_pk, pa.uint32())
+        tn_arr = pa.array(tfidf_norm, pa.float32())
     if perm is not None:
         inv = np.empty(n_docs, dtype=np.int64)
         inv[perm] = np.arange(n_docs, dtype=np.int64)
@@ -363,7 +367,7 @@ def normalize_batch(batch: pa.Table, idf_ref=None) -> pa.Table:
         band_arr = band_arr.take(take)
         if idf is not None:
             ti_arr = ti_arr.take(take)
-            tw_arr = tw_arr.take(take)
+            tn_arr = tn_arr.take(take)
 
     ts = batch["warc_ts"].cast(pa.int64())
     drop = [
@@ -378,8 +382,8 @@ def normalize_batch(batch: pa.Table, idf_ref=None) -> pa.Table:
         .append_column("bands", band_arr)
     )
     if idf is not None:
-        out = out.append_column("tfidf_idx", ti_arr).append_column(
-            "tfidf_w", tw_arr
+        out = out.append_column("tfidf_pk", ti_arr).append_column(
+            "tfidf_norm", tn_arr
         )
     return out
 

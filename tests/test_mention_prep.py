@@ -42,7 +42,7 @@ def _normalize_batch_reference(batch: pa.Table, idf=None) -> pa.Table:
         np.int64
     )
     tok_hashes, sh_hashes, simhashes, bands = [], [], [], []
-    tfidf_idx, tfidf_w = [], []
+    tfidf_pk, tfidf_norm = [], []
     for i, t in enumerate(texts):
         th = flat_th[doc_off[i] : doc_off[i + 1]]
         tok_hashes.append(np.unique((th >> np.uint64(32)).astype(np.uint32)))
@@ -60,19 +60,21 @@ def _normalize_batch_reference(batch: pa.Table, idf=None) -> pa.Table:
             idx = ngram_indices(t or "")
             if len(idx):
                 uniq, counts = np.unique(idx, return_counts=True)
+                counts = np.minimum(counts, 0xFFFF)  # tf saturates at 16 bits
                 w = counts.astype(np.float32) * idf[uniq]
                 if len(uniq) > TFIDF_TOP_K:
                     keep = np.argpartition(-w, TFIDF_TOP_K)[:TFIDF_TOP_K]
                     keep.sort()
-                    uniq, w = uniq[keep], w[keep]
+                    uniq, w, counts = uniq[keep], w[keep], counts[keep]
                 norm = float(np.sqrt((w * w).sum()))
-                if norm > 0:
-                    w = w / norm
-                tfidf_idx.append(uniq.astype(np.uint32))
-                tfidf_w.append(w)
+                tfidf_pk.append(
+                    uniq.astype(np.uint32)
+                    | (counts.astype(np.uint32) << np.uint32(16))
+                )
+                tfidf_norm.append(np.float32(norm))
             else:
-                tfidf_idx.append(np.empty(0, np.uint32))
-                tfidf_w.append(np.empty(0, np.float32))
+                tfidf_pk.append(np.empty(0, np.uint32))
+                tfidf_norm.append(np.float32(0.0))
     ts = batch["warc_ts"].cast(pa.int64())
     drop = [c for c in ("text_extracted", "text", "warc_ts") if c in batch.column_names]
     out = (
@@ -85,8 +87,10 @@ def _normalize_batch_reference(batch: pa.Table, idf=None) -> pa.Table:
     )
     if idf is not None:
         out = out.append_column(
-            "tfidf_idx", _list_array(tfidf_idx, pa.uint32())
-        ).append_column("tfidf_w", _list_array(tfidf_w, pa.float32()))
+            "tfidf_pk", _list_array(tfidf_pk, pa.uint32())
+        ).append_column(
+            "tfidf_norm", pa.array(np.array(tfidf_norm, np.float32), pa.float32())
+        )
     return out
 
 
@@ -207,3 +211,64 @@ class TestBroadcastCache:
         assert mp.get_broadcast(refs[0]) == refs[0].hex().upper()
         assert len(fetches) == n + 1
         mp._REF_CACHE.clear()
+
+
+class TestPackedTfidfTransport:
+    """tfidf ships as ONE uint32 list (idx | tf<<16) + a float32 norm;
+    features._unpack_tfidf must rebuild the exact float32 weights the
+    two-column transport used to carry (same ops, same operand order)."""
+
+    def _mentions(self, idf, texts):
+        mp_get = mp.get_broadcast
+        mp.get_broadcast = lambda r: r
+        try:
+            return mp.normalize_batch(_batch(texts), idf)
+        finally:
+            mp.get_broadcast = mp_get
+
+    def test_unpack_bit_exact_vs_legacy_weights(self):
+        from pubmed_and_method_ray.functions.tfidf import ngram_indices
+        from pubmed_and_method_ray.stages.features import _unpack_tfidf
+
+        rng = np.random.default_rng(11)
+        idf = (rng.random(N_FEATURES) * 4).astype(np.float32)
+        texts = TEXTS + ["q" * 70_000]  # last doc saturates tf at 2^16-1
+        out = self._mentions(idf, texts)
+        off = np.asarray(out["tfidf_pk"].combine_chunks().offsets)
+        o2, iv, wv = _unpack_tfidf(out["tfidf_pk"], out["tfidf_norm"], idf)
+        assert np.array_equal(off, o2)
+        saturated = False
+        for i, t in enumerate(texts):
+            idx = ngram_indices(t or "")
+            if len(idx):
+                uniq, counts = np.unique(idx, return_counts=True)
+                saturated |= bool((counts > 0xFFFF).any())
+                counts = np.minimum(counts, 0xFFFF)
+                w = counts.astype(np.float32) * idf[uniq]
+                if len(uniq) > TFIDF_TOP_K:
+                    keep = np.argpartition(-w, TFIDF_TOP_K)[:TFIDF_TOP_K]
+                    keep.sort()
+                    uniq, w = uniq[keep], w[keep]
+                norm = float(np.sqrt((w * w).sum()))
+                if norm > 0:
+                    w = w / norm
+            else:
+                uniq = np.empty(0, np.uint32)
+                w = np.empty(0, np.float32)
+            s, e = off[i], off[i + 1]
+            assert np.array_equal(iv[s:e], uniq.astype(np.uint32))
+            # bit-for-bit: compare the raw float32 words, not approx
+            assert np.array_equal(
+                wv[s:e].view(np.uint32), w.astype(np.float32).view(np.uint32)
+            ), f"weights not bit-exact for doc {i}"
+        assert saturated, "test corpus must exercise the tf saturation path"
+
+    def test_unpack_requires_idf(self):
+        import pytest as _pytest
+
+        from pubmed_and_method_ray.stages.features import _unpack_tfidf
+
+        idf = np.ones(N_FEATURES, np.float32)
+        out = self._mentions(idf, ["hello world"])
+        with _pytest.raises(ValueError, match="idf"):
+            _unpack_tfidf(out["tfidf_pk"], out["tfidf_norm"], None)

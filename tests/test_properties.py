@@ -236,7 +236,7 @@ class TestVectorizedPairKernels:
     @settings(max_examples=80, deadline=None)
     def test_pairwise_sparse_dot_matches_scalar(self, rows, dtype, data):
         # int64 exercises the per-run fallback; uint32 the packed
-        # fast path (the real tfidf_idx column is uint32)
+        # fast path (the real unpacked tfidf index values are uint32)
         import pyarrow as pa
 
         from pubmed_and_method_ray.stages.features import (

@@ -56,6 +56,7 @@ def main() -> None:
 
     model = load_pretrained_model_json()
     idf = load_pretrained_idf()
+    idf_ref = ray.put(idf)
     model_ref = ray.put(model)
 
     for trial in range(REPEAT):
@@ -71,7 +72,7 @@ def main() -> None:
         t0 = time.perf_counter()
         scored = generate_pair_features(
             mentions, n_max=512, keep_gold=True,
-            model_ref=model_ref, prune_hamming=16,
+            model_ref=model_ref, prune_hamming=16, idf_ref=idf_ref,
         ).materialize()
         out["score_sec"] = round(time.perf_counter() - t0, 3)
         out["pairs"] = scored.count()

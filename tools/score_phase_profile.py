@@ -49,6 +49,7 @@ def main() -> None:
 
     model_ref = ray.put(load_pretrained_model_json())
     idf = load_pretrained_idf()
+    idf_ref = ray.put(idf)
     pages = read_parquet_clean(pages_dir, file_extensions=["parquet"])
     mentions = prepare_mentions(pages, idf=idf).materialize()
 
@@ -85,7 +86,7 @@ def main() -> None:
         scored = exchanged.map_batches(
             lambda g: blocking.make_features_bucket(
                 g, n_max=n_max, keep_gold=keep_gold,
-                model_ref=model_ref, prune_hamming=16,
+                model_ref=model_ref, prune_hamming=16, idf_ref=idf_ref,
             ),
             batch_format="pyarrow",
             batch_size=None,
