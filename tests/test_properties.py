@@ -407,3 +407,54 @@ class TestDecoderExceptionContract:
         for (off, jb), src in zip(got, frames):
             assert payload[off : off + len(jb)] == jb
             assert decode_jpeg(jb).shape == (8, 8, 3)
+
+
+class TestPackedTfidfProperty:
+    @given(
+        st.lists(
+            st.lists(
+                st.tuples(st.integers(0, 65535), st.integers(1, 65535)),
+                max_size=6,
+            ),
+            min_size=1,
+            max_size=8,
+        ),
+        st.data(),
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_pack_unpack_roundtrip_bit_exact(self, rows, data):
+        """The packed transport's bit layout (idx | tf<<16, float32 norm)
+        must reproduce w = tf*idf[idx]/norm exactly as the per-doc
+        two-column construction computed it, for arbitrary (idx, tf)
+        sets and idf values — the invariant the exchange relies on."""
+        import numpy as np
+        import pyarrow as pa
+
+        from pubmed_and_method_ray.stages.features import _unpack_tfidf
+
+        rng = np.random.default_rng(data.draw(st.integers(0, 2**31)))
+        idf = (rng.random(65536) * 6).astype(np.float32)
+        pk_lists, norms, want_w, want_idx = [], [], [], []
+        for r in rows:
+            d = dict(r)  # unique indices, tf >= 1
+            idx = np.array(sorted(d), dtype=np.uint32)
+            cnt = np.array([d[i] for i in idx], dtype=np.int64)
+            w = cnt.astype(np.float32) * idf[idx.astype(np.int64)]
+            norm = float(np.sqrt((w * w).sum()))
+            if norm > 0:
+                w = w / norm
+            pk_lists.append((idx | (cnt.astype(np.uint32) << np.uint32(16))).tolist())
+            norms.append(np.float32(norm))
+            want_idx.append(idx)
+            want_w.append(w.astype(np.float32))
+        pk_col = pa.array(pk_lists, pa.list_(pa.uint32()))
+        norm_col = pa.array(np.array(norms, np.float32), pa.float32())
+        off, iv, wv = _unpack_tfidf(
+            pa.table({"x": pk_col})["x"], norm_col, idf
+        )
+        for i in range(len(rows)):
+            s, e = off[i], off[i + 1]
+            assert np.array_equal(iv[s:e], want_idx[i])
+            assert np.array_equal(
+                wv[s:e].view(np.uint32), want_w[i].view(np.uint32)
+            )
