@@ -176,17 +176,33 @@ def connected_components_distributed(
 
     nbrs = edges_ds.map_batches(both_dirs, batch_format="pyarrow").materialize()
 
-    # initial labels (every endpoint labels itself) derive from the
-    # MATERIALIZED neighbors, not from edges_ds — see docstring.
-    def self_label(t: pa.Table) -> pa.Table:
-        tt = t.select([node_col]).combine_chunks()
-        return tt.append_column(label_col, tt[node_col])
+    # Round 0 is FUSED: at round 0 every label is the node's own id, so
+    # the dense nbrs⋈labels join is an identity lookup and the seed
+    # "labels itself" groupby is subsumable — emit, per (node, nbr) row,
+    # the self row (node, node, old=node) AND the message row
+    # (nbr, node, old=null), and ONE groupby-min produces the round-1
+    # labels plus the pre-round label in `old`. That removes the only
+    # guaranteed-dense full-edge-set join and one full shuffle from the
+    # loop (the remaining rounds are frontier-broadcast when small).
+    def seed_round(t: pa.Table) -> pa.Table:
+        tt = t.combine_chunks()
+        self_rows = pa.Table.from_pydict(
+            {
+                node_col: tt[node_col],
+                label_col: tt[node_col],
+                "old": tt[node_col],
+            }
+        )
+        msg_rows = pa.Table.from_pydict(
+            {
+                node_col: tt["nbr"],
+                label_col: tt[node_col],
+                "old": pa.nulls(tt.num_rows, type=tt[node_col].type),
+            }
+        )
+        return pa.concat_tables([self_rows, msg_rows])
 
-    labels = (
-        nbrs.map_batches(self_label, batch_format="pyarrow")
-        .groupby(node_col, num_partitions=shuffle_partitions())
-        .aggregate(Min(label_col, alias_name=label_col))
-    ).materialize()
+    labels = None  # defined after round 0's fused aggregate
     # join aggregators are actors; the count scales with the cluster and
     # is never capped at a constant (a hard 64 here would hold ~1/64 of
     # all edge messages per partition at 100 TB)
@@ -209,8 +225,8 @@ def connected_components_distributed(
         )
 
     # frontier = nodes whose label changed last round (lazy filter over
-    # the materialized agg). Every node "changed" at round 0 (initial
-    # label acquisition), so the first round always takes the dense join.
+    # the materialized agg). Round 0 is the fused seed round; later
+    # rounds broadcast the frontier when it fits, else dense-join.
     def keep_changed(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
@@ -290,12 +306,22 @@ def connected_components_distributed(
 
         return labels.map_batches(apply_msgs, batch_format="pyarrow")
 
-    frontier = None  # None -> dense join round
+    frontier = None  # None -> fused seed round (round 0)
     frontier_rows = None
     converged = False
     for _ in range(max_rounds):
         agg = None
-        if frontier is not None and frontier_rows <= frontier_broadcast_max:
+        if frontier is None:
+            # fused round 0: see seed_round — no join, one groupby
+            agg = (
+                nbrs.map_batches(seed_round, batch_format="pyarrow")
+                .groupby(node_col, num_partitions=shuffle_partitions())
+                .aggregate(
+                    Min(label_col, alias_name=label_col),
+                    Min("old", alias_name="old"),
+                )
+            ).materialize()
+        elif frontier_rows <= frontier_broadcast_max:
             msgs = broadcast_msgs(frontier)
             # min-reduce the (small) message stream per node; if the
             # reduced set also fits the budget, the whole round is
