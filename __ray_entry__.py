@@ -604,12 +604,24 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents"
         ),
         "quality_score": (
-            "SELECT doc_id, len(toks) AS n_tokens, "
-            "len(list_filter(toks, x -> x IN "
+            "SELECT b.doc_id, len(b.toks) AS n_tokens, "
+            "len(list_filter(b.toks, x -> x IN "
             f"{QUALITY_SW_SQL})) AS stopword_count, "
-            "len(list_filter(toks, x -> x IN "
-            f"{QUALITY_SW_SQL})) / len(toks) AS stop_ratio "
-            "FROM (SELECT doc_id, str_split(lower(text), ' ') AS toks FROM documents)"
+            "len(list_filter(b.toks, x -> x IN "
+            f"{QUALITY_SW_SQL})) / len(b.toks) AS stop_ratio, "
+            "len(b.lns) AS n_lines, "
+            "(len(b.lns) - len(list_distinct(b.lns))) / len(b.lns) "
+            "AS dup_line_frac, "
+            "(len(b.toks) - len(list_distinct(b.toks))) / len(b.toks) "
+            "AS dup_token_frac, "
+            "tc.top_cnt / len(b.toks) AS top_token_frac "
+            "FROM (SELECT doc_id, str_split(lower(text), ' ') AS toks, "
+            "str_split(text, chr(10)) AS lns FROM documents) b "
+            "JOIN (SELECT doc_id, max(c) AS top_cnt FROM ("
+            "SELECT doc_id, tok, count(*) AS c FROM ("
+            "SELECT doc_id, unnest(str_split(lower(text), ' ')) AS tok "
+            "FROM documents) GROUP BY doc_id, tok) GROUP BY doc_id) tc "
+            "USING (doc_id)"
         ),
         # lang-ID heuristic: marker-token hit counts per language over the
         # token multiset; argmax with tie-break by language code; 'und'

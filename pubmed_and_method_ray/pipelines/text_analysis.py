@@ -66,6 +66,37 @@ def _segment_sum(hit: np.ndarray, offs: np.ndarray) -> np.ndarray:
     return np.where(np.diff(offs) == 0, 0, seg)
 
 
+def _segment_distinct_top(vals, offs: np.ndarray):
+    """Per-row (distinct count, max multiplicity) over an Arrow string
+    values/offsets segmentation — dictionary-encode the flat values
+    once, one sort of (row << 32 | code), run lengths, reduceat per
+    row. No per-row Python; the repetition metrics below ride on it."""
+    n_rows = len(offs) - 1
+    total = int(offs[-1]) if n_rows else 0
+    if total == 0:
+        z = np.zeros(n_rows, dtype=np.int64)
+        return z, z.copy()
+    enc = vals.dictionary_encode()
+    codes = np.asarray(enc.indices, dtype=np.int64)
+    rows = np.repeat(np.arange(n_rows, dtype=np.int64), np.diff(offs))
+    key = (rows << np.int64(32)) | codes  # codes are int32, rows < 2^31
+    ks = np.sort(key)
+    bound = np.empty(total, dtype=bool)
+    bound[0] = True
+    bound[1:] = ks[1:] != ks[:-1]
+    run_starts = np.flatnonzero(bound)
+    run_counts = np.diff(np.append(run_starts, total))
+    run_rows = ks[run_starts] >> np.int64(32)
+    distinct = np.bincount(run_rows, minlength=n_rows).astype(np.int64)
+    row_bound = np.empty(len(run_rows), dtype=bool)
+    row_bound[0] = True
+    row_bound[1:] = run_rows[1:] != run_rows[:-1]
+    row_starts = np.flatnonzero(row_bound)
+    top = np.zeros(n_rows, dtype=np.int64)
+    top[run_rows[row_starts]] = np.maximum.reduceat(run_counts, row_starts)
+    return distinct, top
+
+
 def token_count(sf_dir: str):
     """(doc_id, n_tokens): space-split token count (oracle: len(str_split))."""
     import pyarrow.compute as pc
@@ -124,10 +155,15 @@ def token_count_bpe(sf_dir: str):
 
 
 def quality_score(sf_dir: str):
-    """(doc_id, n_tokens, stopword_count, stop_ratio): the reference's
-    ratio-style quality flags (SURVEY.md M15 analog) as one vectorized
-    pass (Arrow split + is_in, segment sums over list offsets);
-    stop_ratio is an int/int division -> bit-identical to SQL."""
+    """(doc_id, n_tokens, stopword_count, stop_ratio, n_lines,
+    dup_line_frac, dup_token_frac, top_token_frac): the reference's
+    ratio-style quality flags (SURVEY.md M15 analog) PLUS Gopher-style
+    within-document repetition metrics (Rae et al. 2021 §A1.1's
+    duplicate-line / duplicate-token / most-frequent-token fractions —
+    the standard web-corpus repetition filters), all in one vectorized
+    pass (Arrow split + is_in + the dictionary-encode/sort segment
+    kernel in _segment_distinct_top). Every ratio is an int/int
+    division in float64 -> bit-identical to SQL DOUBLE division."""
     import pyarrow.compute as pc
 
     sw_arr = pa.array(sorted(QUALITY_STOPWORDS), pa.string())
@@ -140,13 +176,34 @@ def quality_score(sf_dir: str):
             .astype(np.int64)
         )
         n_stop = _segment_sum(hit, offs)
-        # split(" ") of "" is [""], so n_toks >= 1 always
+        tok_distinct, tok_top = _segment_distinct_top(vals, offs)
+        # line split on the RAW text (repetition of rendered lines, not
+        # lowered tokens — the Gopher convention)
+        lines = pc.split_pattern(
+            pc.coalesce(t["text"], pa.scalar("")), "\n"
+        )
+        if isinstance(lines, pa.ChunkedArray):
+            lines = lines.combine_chunks()
+        loffs = np.asarray(lines.offsets, dtype=np.int64)
+        lvals = lines.values.slice(loffs[0], loffs[-1] - loffs[0])
+        loffs = loffs - loffs[0]
+        n_lines = np.diff(loffs)
+        line_distinct, _ = _segment_distinct_top(lvals, loffs)
+        # split(" ")/split("\n") of "" is [""], so denominators >= 1
         return pa.Table.from_pydict(
             {
                 "doc_id": t["doc_id"],
                 "n_tokens": pa.array(n_toks, pa.int64()),
                 "stopword_count": pa.array(n_stop, pa.int64()),
                 "stop_ratio": pa.array(n_stop / n_toks, pa.float64()),
+                "n_lines": pa.array(n_lines, pa.int64()),
+                "dup_line_frac": pa.array(
+                    (n_lines - line_distinct) / n_lines, pa.float64()
+                ),
+                "dup_token_frac": pa.array(
+                    (n_toks - tok_distinct) / n_toks, pa.float64()
+                ),
+                "top_token_frac": pa.array(tok_top / n_toks, pa.float64()),
             }
         )
 

@@ -625,3 +625,78 @@ class TestSizedBroadcastJoin:
         # multiplicity preserved: the dup-key right side forces the real
         # join, which emits BOTH matches for k=2
         assert list(out["rv"]) == ["x", "y"]
+
+
+class TestRepetitionMetrics:
+    """Gopher-style within-doc repetition metrics certified inside
+    quality_score: the segment kernel must match a per-doc scalar
+    reference on newline-heavy / repetitive texts the synthetic corpus
+    doesn't contain."""
+
+    TEXTS = [
+        "spam spam spam spam",                      # one token dominates
+        "a b c d e",                                # all distinct
+        "line one\nline one\nline two",             # duplicate lines
+        "x\nx\nx\nx",                               # all-dup lines
+        "",                                         # empty -> [''] both
+        "Mixed CASE mixed case\nMixed CASE mixed case",  # lower() folds tokens
+        "solo",
+    ]
+
+    def _expected(self, text):
+        toks = (text or "").lower().split(" ")
+        lines = (text or "").split("\n")
+        from collections import Counter
+
+        tc = Counter(toks)
+        return {
+            "n_tokens": len(toks),
+            "n_lines": len(lines),
+            "dup_line_frac": (len(lines) - len(set(lines))) / len(lines),
+            "dup_token_frac": (len(toks) - len(set(toks))) / len(toks),
+            "top_token_frac": max(tc.values()) / len(toks),
+        }
+
+    def test_segment_kernel_matches_scalar(self):
+        import pyarrow as pa
+
+        from pubmed_and_method_ray.pipelines import text_analysis as ta
+
+        t = pa.table(
+            {
+                "doc_id": pa.array(range(len(self.TEXTS)), pa.int64()),
+                "text": pa.array(self.TEXTS, pa.string()),
+            }
+        )
+        # drive the batch fn exactly as the query does
+        captured = {}
+        orig = ta._read_documents
+
+        class FakeDS:
+            def map_batches(self, f, **kw):
+                captured["out"] = f(t)
+                return self
+
+        try:
+            ta._read_documents = lambda sf, cols=None: FakeDS()
+            ta.quality_score("unused")
+        finally:
+            ta._read_documents = orig
+        out = captured["out"].to_pydict()
+        for i, text in enumerate(self.TEXTS):
+            want = self._expected(text)
+            for k, v in want.items():
+                assert out[k][i] == v, (k, i, out[k][i], v)
+
+    def test_segment_distinct_top_empty_rows(self):
+        import pyarrow as pa
+
+        from pubmed_and_method_ray.pipelines.text_analysis import (
+            _segment_distinct_top,
+        )
+
+        vals = pa.array(["a", "a", "b"], pa.string())
+        offs = np.array([0, 0, 2, 2, 3], dtype=np.int64)  # rows 0,2 empty
+        d, top = _segment_distinct_top(vals, offs)
+        assert d.tolist() == [0, 1, 0, 1]
+        assert top.tolist() == [0, 2, 0, 1]
