@@ -46,7 +46,9 @@ def prepare_mentions(pages_ds, use_tfidf: bool = True, idf_sample_mod: int = 1,
     if use_tfidf:
         if idf is None:
             idf, _ = fit_idf(extracted, sample_mod=idf_sample_mod)
-        idf_ref = ray.put(idf)
+        # float32 before the put: producer top-k/norm selection and the
+        # consumer-side weight recompute must share one precision
+        idf_ref = ray.put(np.asarray(idf, dtype=np.float32))
     ds = extracted.map_batches(
         normalize_batch,
         fn_kwargs={"idf_ref": idf_ref},
@@ -55,8 +57,9 @@ def prepare_mentions(pages_ds, use_tfidf: bool = True, idf_sample_mod: int = 1,
     )
     # ``return_idf``: the score stage recomputes tf-idf weights from the
     # packed transport (features._unpack_tfidf) and needs the SAME idf —
-    # hand back the (possibly just-fitted) vector alongside the dataset.
-    return (ds, idf if use_tfidf else None) if return_idf else ds
+    # hand back the existing broadcast ref (one plasma copy, one
+    # per-worker cache slot) alongside the dataset.
+    return (ds, idf_ref) if return_idf else ds
 
 
 def train_pairwise_model(features_ds, seed: int = 42) -> str:
@@ -206,7 +209,7 @@ def run_er_pipeline(
 
     import ray
 
-    mentions_lazy, idf_used = prepare_mentions(
+    mentions_lazy, idf_ref = prepare_mentions(
         pages_ds,
         use_tfidf=use_tfidf,
         idf_sample_mod=idf_sample_mod,
@@ -215,8 +218,8 @@ def run_er_pipeline(
     )
     mentions = persist(mentions_lazy, "mentions")
     # the fused score stage rebuilds tf-idf weights from the packed
-    # transport; broadcast the SAME idf the mentions were built with
-    idf_ref = ray.put(idf_used) if idf_used is not None else None
+    # transport, reusing the SAME broadcast ref the mentions were
+    # built with (one plasma copy)
     # fused pair-gen + featurization: one hash shuffle, no wide pair rows
     if model_json is not None:
         # production path: scoring fused into the same bucket task

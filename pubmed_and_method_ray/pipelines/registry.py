@@ -119,8 +119,10 @@ def _normalize_stage_factory(idf_ref=None, **kwargs):
         lambda ds: ds.map_batches(
             normalize_batch, fn_kwargs={"idf_ref": idf_ref}, batch_format="pyarrow"
         ),
-        version="1",
-        params=(idf_ref is not None,),
+        # v2: packed tfidf transport (tfidf_pk + tfidf_norm replace
+        # tfidf_idx + tfidf_w) — old-schema checkpoints must not resume
+        version="2",
+        params=(idf_ref is not None, kwargs.get("idf_id")),
     )
 
 
@@ -146,5 +148,16 @@ def _pair_features_factory(
             idf_ref=idf_ref,
         ),
         version="3",
-        params=(n_max, keep_gold, prune_hamming, model_ref is not None),
+        # the feature rows depend on the idf CONTENT (weights rebuilt
+        # from it at score time); callers that refit the idf between
+        # runs pass idf_id (a content hash, as er.py's own
+        # checkpointing does) so the fingerprint invalidates
+        params=(
+            n_max,
+            keep_gold,
+            prune_hamming,
+            model_ref is not None,
+            idf_ref is not None,
+            kw.get("idf_id"),
+        ),
     )

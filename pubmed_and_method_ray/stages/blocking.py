@@ -656,11 +656,7 @@ def make_features_bucket(
         if idf_ref is not None and "tfidf_pk" in group.column_names:
             from .mention_prep import get_broadcast
 
-            idf = (
-                idf_ref
-                if isinstance(idf_ref, np.ndarray)
-                else get_broadcast(idf_ref)
-            )
+            idf = get_broadcast(idf_ref)  # ndarray passes through
         out = features_from_indices(
             group, left_idx, right_idx, sizes, labels, idf=idf
         )

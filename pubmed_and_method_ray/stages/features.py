@@ -375,12 +375,9 @@ class PairFeatures:
 
     def _get_idf(self):
         if self._idf is None and self.idf_ref is not None:
-            if isinstance(self.idf_ref, np.ndarray):
-                self._idf = self.idf_ref
-            else:
-                from .mention_prep import get_broadcast
+            from .mention_prep import get_broadcast
 
-                self._idf = get_broadcast(self.idf_ref)
+            self._idf = get_broadcast(self.idf_ref)  # ndarray passes through
         return self._idf
 
     def __call__(self, batch: pa.Table) -> pa.Table:

@@ -58,9 +58,12 @@ def get_broadcast(ref):
     """Fetch a ray.put broadcast once per worker process (numpy payloads
     come back zero-copy from plasma; the cache skips repeat deserializes
     for dict payloads). LRU-bounded so iterative per-round broadcasts
-    don't accumulate."""
+    don't accumulate. A raw ndarray passes through unchanged (tests and
+    direct in-process callers hand the payload itself)."""
     if ref is None:
         return None
+    if isinstance(ref, np.ndarray):
+        return ref
     key = ref.hex() if hasattr(ref, "hex") else str(ref)
     if key not in _REF_CACHE:
         import ray
@@ -240,6 +243,13 @@ def normalize_batch(batch: pa.Table, idf_ref=None) -> pa.Table:
     the reference row-by-row construction — tests/test_mention_prep.py
     asserts column equality against it."""
     idf = get_broadcast(idf_ref)
+    if idf is not None:
+        # float32 ALWAYS: the packed transport's consumers recompute
+        # w = tf*idf[idx]/norm in float32 (features._unpack_tfidf), so
+        # the producer must select top-k and derive norms in the same
+        # precision — a float64 idf here would break the bit-exact
+        # weight contract in the last ulp
+        idf = np.asarray(idf, dtype=np.float32)
     txt = batch["text_extracted"]
     flat, offs, perm = _flat_tokens(txt)
     n_docs = len(offs) - 1
