@@ -1132,3 +1132,109 @@ def dedup_embedding_cosine(sf_dir: str, threshold: float = 0.3, n_parts: int = 8
         .repartition(num_blocks=nblocks, keys=["bucket"])
         .map_batches(group_pairs, batch_format="pyarrow", batch_size=None)
     )
+
+
+def dedup_shared_window(sf_dir: str, window: int = 8, n_max: int = 1000):
+    """Exact shared-window near-dup pairs (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better": two docs
+    sharing ANY exact ``window``-token span are near-duplicates): per
+    doc, the DISTINCT md5_u64 hashes of its token windows (the
+    doc_rolling_fingerprint gram contract, so the DuckDB oracle's
+    md5_number_upper reproduces them exactly), one (gram, doc_id)
+    exchange row per distinct window, pairs formed within gram groups
+    capped at ``n_max`` docs (stop-phrase groups are DROPPED — the
+    frequent-span guard; the oracle applies the same HAVING bound),
+    then one keyed count-aggregation to (doc_id1, doc_id2,
+    shared_windows).
+
+    Scale shape: exchange rows ~ one per distinct window per doc
+    (bounded by tokens/doc); per-gram pair blowup bounded by n_max^2;
+    the final shuffle keys on the pair, so a mega-pair costs one
+    aggregation row. Docs shorter than ``window`` contribute their
+    whole text as a single gram (matching the fingerprint kernel)."""
+    from ..functions.hashing import md5_u64_array
+
+    def emit_grams(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        ids = np.asarray(t["doc_id"].to_numpy(zero_copy_only=False), np.int64)
+        grams: list[str] = []
+        lens = np.empty(len(texts), dtype=np.int64)
+        for i, x in enumerate(texts):
+            toks = (x or "").lower().split(" ")
+            if len(toks) < window:
+                g = [" ".join(toks)] if toks else []
+            else:
+                g = [
+                    " ".join(toks[j : j + window])
+                    for j in range(len(toks) - window + 1)
+                ]
+            lens[i] = len(g)
+            grams.extend(g)
+        h = md5_u64_array(grams)
+        doc_of = np.repeat(np.arange(len(texts), dtype=np.int64), lens)
+        # per-doc distinct windows in one global lexsort
+        order = np.lexsort((h, doc_of))
+        hs, ds_ = h[order], doc_of[order]
+        keep = np.empty(len(hs), dtype=bool)
+        if len(hs):
+            keep[0] = True
+            keep[1:] = (hs[1:] != hs[:-1]) | (ds_[1:] != ds_[:-1])
+        return pa.Table.from_pydict(
+            {
+                "gram": pa.array(hs[keep], pa.uint64()),
+                "doc_id": pa.array(ids[ds_[keep]], pa.int64()),
+            }
+        )
+
+    def gram_group_pairs(t: pa.Table) -> pa.Table:
+        tt = t.combine_chunks()
+        g = np.asarray(tt["gram"].to_numpy(zero_copy_only=False), np.uint64)
+        d = np.asarray(tt["doc_id"].to_numpy(zero_copy_only=False), np.int64)
+        order = np.lexsort((d, g))
+        g, d = g[order], d[order]
+        bound = np.empty(len(g), dtype=bool)
+        o1, o2 = [], []
+        if len(g):
+            bound[0] = True
+            bound[1:] = g[1:] != g[:-1]
+            starts = np.flatnonzero(bound)
+            sizes = np.diff(np.append(starts, len(g)))
+            for s, n in zip(starts, sizes):
+                if 2 <= n <= n_max:
+                    seg = d[s : s + n]  # ascending within the gram run
+                    ii, jj = np.triu_indices(n, k=1)
+                    o1.append(seg[ii])
+                    o2.append(seg[jj])
+        if not o1:
+            return pa.Table.from_pydict(
+                {
+                    "doc_id1": pa.array([], pa.int64()),
+                    "doc_id2": pa.array([], pa.int64()),
+                }
+            )
+        return pa.Table.from_pydict(
+            {
+                "doc_id1": pa.array(np.concatenate(o1), pa.int64()),
+                "doc_id2": pa.array(np.concatenate(o2), pa.int64()),
+            }
+        )
+
+    def rename(t: pa.Table) -> pa.Table:
+        cnt = t["count()"] if "count()" in t.column_names else t["count"]
+        return pa.Table.from_pydict(
+            {
+                "doc_id1": t["doc_id1"],
+                "doc_id2": t["doc_id2"],
+                "shared_windows": cnt.cast(pa.int64()),
+            }
+        )
+
+    return (
+        _read_documents(sf_dir, ["doc_id", "text"])
+        .map_batches(emit_grams, batch_format="pyarrow")
+        .repartition(num_blocks=shuffle_partitions(), keys=["gram"])
+        .map_batches(gram_group_pairs, batch_format="pyarrow", batch_size=None)
+        .groupby(["doc_id1", "doc_id2"], num_partitions=shuffle_partitions())
+        .count()
+        .map_batches(rename, batch_format="pyarrow")
+    )

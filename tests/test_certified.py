@@ -127,3 +127,68 @@ class TestStandaloneVariantOracles:
             "AND a.source = b.source AND a.doc_id < b.doc_id) "
             "WHERE jaccard >= 0.6",
         )
+
+    def test_dedup_shared_window(self, con):
+        """Lee-et-al exact shared-window pairs vs a DuckDB construction
+        of the SAME gram contract (md5_number_upper over 8-token
+        windows, the doc_rolling_fingerprint convention)."""
+        from pubmed_and_method_ray.pipelines.dedup import dedup_shared_window
+
+        _check(
+            dedup_shared_window(SF),
+            con,
+            "WITH t AS (SELECT doc_id, str_split(lower(text), ' ') AS toks "
+            "FROM documents), "
+            "g AS (SELECT doc_id, CASE WHEN len(toks) < 8 "
+            "THEN [array_to_string(toks, ' ')] "
+            "ELSE list_transform(generate_series(1, len(toks) - 7), "
+            "i -> array_to_string(toks[i:i+7], ' ')) END AS grams FROM t), "
+            "h AS (SELECT DISTINCT doc_id, md5_number_upper(gram) AS gh "
+            "FROM (SELECT doc_id, unnest(grams) AS gram FROM g)), "
+            "ok AS (SELECT gh FROM h GROUP BY gh "
+            "HAVING count(*) BETWEEN 2 AND 1000) "
+            "SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2, "
+            "count(*) AS shared_windows "
+            "FROM h a JOIN h b USING (gh) JOIN ok USING (gh) "
+            "WHERE a.doc_id < b.doc_id GROUP BY 1, 2",
+        )
+
+
+class TestSharedWindowCap:
+    def test_stop_phrase_group_dropped(self, ray_session=None):
+        """A window shared by more docs than n_max is a stop phrase and
+        must produce NO pairs from that gram; rarer shared windows still
+        pair, and the pair count reflects only surviving grams."""
+        import pyarrow as pa
+        import ray.data as rd
+
+        from pubmed_and_method_ray.pipelines import dedup as dd
+
+        span = "one two three four five six seven eight"
+        rare = "alpha beta gamma delta epsilon zeta eta theta"
+        texts = [f"{span} filler{i}" for i in range(4)]  # 4 docs share `span`
+        texts[0] = f"{span} {rare}"
+        texts[1] = f"{rare} tail {span}"
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(range(4), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+        orig = dd._read_documents
+        try:
+            dd._read_documents = lambda sf, cols=None: rd.from_arrow(tbl)
+            # n_max=2: the 4-doc `span` gram group is dropped; doc 0 and
+            # doc 1 still pair through the 2-doc `rare`-window grams
+            out = (
+                dd.dedup_shared_window("unused", n_max=2)
+                .to_pandas()
+                .sort_values(["doc_id1", "doc_id2"])
+                .reset_index(drop=True)
+            )
+        finally:
+            dd._read_documents = orig
+        assert list(zip(out["doc_id1"], out["doc_id2"])) == [(0, 1)]
+        # shared grams between 0 and 1: windows fully inside `rare`
+        # (doc 0 suffix vs doc 1 prefix) that no third doc contains
+        assert (out["shared_windows"] >= 1).all()
