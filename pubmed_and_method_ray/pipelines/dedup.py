@@ -1238,3 +1238,72 @@ def dedup_shared_window(sf_dir: str, window: int = 8, n_max: int = 1000):
         .count()
         .map_batches(rename, batch_format="pyarrow")
     )
+
+
+def decontaminate(sf_dir: str, benchmark_texts, window: int = 8):
+    """Benchmark decontamination (the standard LLM-training-data step:
+    drop corpus docs that contain any exact ``window``-token span of an
+    evaluation benchmark — e.g. GPT-3 appendix C / Lee et al. 2021):
+    the benchmark's window grams are built ONCE with the same gram rule
+    as dedup_shared_window, broadcast as an Arrow value set, and each
+    doc is flagged with one vectorized ``is_in`` over its grams —
+    no shuffle at all; the benchmark side is small by definition.
+    Emits (doc_id, n_hits, contaminated) where n_hits counts DISTINCT
+    contaminated windows (set semantics, matching the oracle's
+    list_intersect)."""
+    import pyarrow.compute as pc
+
+    def _grams_of(text: str) -> list[str]:
+        toks = (text or "").lower().split(" ")
+        if len(toks) < window:
+            return [" ".join(toks)] if toks else []
+        return [
+            " ".join(toks[j : j + window])
+            for j in range(len(toks) - window + 1)
+        ]
+
+    bench = sorted({g for t in benchmark_texts for g in _grams_of(t)})
+    bench_arr = pa.array(bench, pa.string())
+
+    def flag(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        grams: list[str] = []
+        lens = np.empty(len(texts), dtype=np.int64)
+        for i, x in enumerate(texts):
+            g = _grams_of(x)
+            lens[i] = len(g)
+            grams.extend(g)
+        doc_of = np.repeat(np.arange(len(texts), dtype=np.int64), lens)
+        hit = (
+            pc.is_in(pa.array(grams, pa.string()), value_set=bench_arr)
+            .to_numpy(zero_copy_only=False)
+            .astype(bool)
+        )
+        # distinct matched windows per doc: hits are rare, exact dedupe
+        # on the (doc, gram) pairs that matched
+        if hit.any():
+            from ..functions.hashing import md5_u64_array
+
+            hd = doc_of[hit]
+            hg = md5_u64_array([grams[k] for k in np.flatnonzero(hit)])
+            order = np.lexsort((hg, hd))
+            hd, hg = hd[order], hg[order]
+            keep = np.empty(len(hd), dtype=bool)
+            keep[0] = True
+            keep[1:] = (hd[1:] != hd[:-1]) | (hg[1:] != hg[:-1])
+            n_hits = np.bincount(hd[keep], minlength=len(texts)).astype(
+                np.int64
+            )
+        else:
+            n_hits = np.zeros(len(texts), dtype=np.int64)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": t["doc_id"],
+                "n_hits": pa.array(n_hits, pa.int64()),
+                "contaminated": pa.array(n_hits > 0, pa.bool_()),
+            }
+        )
+
+    return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        flag, batch_format="pyarrow"
+    )

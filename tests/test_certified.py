@@ -192,3 +192,52 @@ class TestSharedWindowCap:
         # shared grams between 0 and 1: windows fully inside `rare`
         # (doc 0 suffix vs doc 1 prefix) that no third doc contains
         assert (out["shared_windows"] >= 1).all()
+
+
+class TestDecontaminate:
+    def test_oracle_parity_with_planted_benchmark(self, con):
+        """Benchmark built from real corpus spans (so hits exist) plus a
+        non-matching probe; parity vs DuckDB list_intersect on the SAME
+        gram construction."""
+        import duckdb as _dd
+
+        from pubmed_and_method_ray.pipelines.dedup import decontaminate
+
+        texts = con.execute(
+            "SELECT text FROM documents ORDER BY doc_id LIMIT 3"
+        ).fetchall()
+        # two real spans (guaranteed window hits) + one miss
+        bench = [texts[0][0], texts[1][0][:200], "zz yy xx ww vv uu tt ss"]
+        bench_grams = sorted(
+            {
+                g
+                for t in bench
+                for g in (
+                    [
+                        " ".join(t.lower().split(" ")[j : j + 8])
+                        for j in range(len(t.lower().split(" ")) - 7)
+                    ]
+                    if len(t.lower().split(" ")) >= 8
+                    else [" ".join(t.lower().split(" "))]
+                )
+            }
+        )
+        lit = "[" + ", ".join("'" + g.replace("'", "''") + "'" for g in bench_grams) + "]"
+        _check(
+            decontaminate(SF, bench),
+            con,
+            "WITH t AS (SELECT doc_id, str_split(lower(text), ' ') AS toks "
+            "FROM documents), "
+            "g AS (SELECT doc_id, CASE WHEN len(toks) < 8 "
+            "THEN [array_to_string(toks, ' ')] "
+            "ELSE list_transform(generate_series(1, len(toks) - 7), "
+            "i -> array_to_string(toks[i:i+7], ' ')) END AS grams FROM t) "
+            "SELECT doc_id, "
+            f"len(list_intersect(list_distinct(grams), {lit})) AS n_hits, "
+            f"len(list_intersect(list_distinct(grams), {lit})) > 0 "
+            "AS contaminated FROM g",
+        )
+        # sanity: the planted spans actually contaminate something
+        got = decontaminate(SF, bench).to_pandas()
+        assert got["contaminated"].any()
+        assert (got["n_hits"] >= 0).all()
