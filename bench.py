@@ -112,6 +112,7 @@ def run_benchmarks() -> dict:
         }
 
     timed("dedup_exact", dedup.dedup_exact)
+    timed("dedup_shared_window", dedup.dedup_shared_window)
     timed("dedup_minhash_lsh", dedup.dedup_minhash_lsh)
     timed("dedup_embedding_cosine", dedup.dedup_embedding_cosine)
     timed("ann_topk", similarity.ann_topk)
