@@ -458,3 +458,76 @@ class TestPackedTfidfProperty:
             assert np.array_equal(
                 wv[s:e].view(np.uint32), want_w[i].view(np.uint32)
             )
+
+
+class TestSharedWindowProperty:
+    @given(
+        st.lists(
+            st.lists(
+                st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=1, max_size=12
+            ),
+            min_size=2,
+            max_size=8,
+        ),
+        st.integers(2, 4),
+    )
+    @settings(max_examples=40, deadline=None)
+    def test_pairs_match_bruteforce(self, docs, window):
+        """dedup_shared_window's keyed-exchange pair construction must
+        equal the brute-force set-of-shared-windows definition for any
+        corpus, window size and group cap."""
+        import pyarrow as pa
+        import ray.data as rd
+
+        from pubmed_and_method_ray.pipelines import dedup as dd
+
+        texts = [" ".join(toks) for toks in docs]
+
+        def windows(text):
+            toks = text.lower().split(" ")
+            if len(toks) < window:
+                return {" ".join(toks)}
+            return {
+                " ".join(toks[j : j + window])
+                for j in range(len(toks) - window + 1)
+            }
+
+        n_max = 3
+        from collections import Counter
+
+        freq = Counter(g for t in texts for g in windows(t))
+        want = {}
+        for i in range(len(texts)):
+            for j in range(i + 1, len(texts)):
+                shared = {
+                    g
+                    for g in windows(texts[i]) & windows(texts[j])
+                    if 2 <= freq[g] <= n_max
+                }
+                if shared:
+                    want[(i, j)] = len(shared)
+
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+        orig = dd._read_documents
+        try:
+            dd._read_documents = lambda sf, cols=None: rd.from_arrow(tbl)
+            out = dd.dedup_shared_window(
+                "unused", window=window, n_max=n_max
+            ).to_pandas()
+        finally:
+            dd._read_documents = orig
+        if out.empty:  # zero pairs -> empty dataset (schema-less in Ray)
+            got = {}
+        else:
+            got = {
+                (a, b): c
+                for a, b, c in zip(
+                    out["doc_id1"], out["doc_id2"], out["shared_windows"]
+                )
+            }
+        assert got == want
